@@ -1,0 +1,272 @@
+"""Model handler layer: functional train/eval steps over flax modules.
+
+This is the TPU-native redesign of the reference's handler stack
+(rumpy/shared_framework/models/base_architecture.py:17-612 ``BaseModel``):
+instead of an object mutating a torch module + optimizer in place, each
+handler owns
+
+  * a pure flax ``nn.Module`` (NHWC),
+  * an optax optimizer/schedule built from the same config vocabulary the
+    reference exposes (adam/rmsprop; multi_step_lr / step_lr /
+    cosine_warm_restarts / one_cycle; grad clipping —
+    base_architecture.py:79-186, :425-440),
+  * jitted, donation-friendly ``train_step`` / ``eval_step`` closures.
+
+State lives in an immutable :class:`TrainState` pytree (params, opt state,
+RNG, handler extras such as EMA encoders / MoCo queues / discriminator
+state), which makes the whole thing trivially shardable: replicate the
+state, shard the batch over the mesh's ``data`` axis, and ``jit`` compiles
+the SPMD program with the gradient all-reduce on ICI.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rumpy_tpu.utils import checkpoint as ckpt
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    extra: Any  # handler-specific mutable state (EMA params, queues, GAN disc, ...)
+    rng: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Schedules / optimizers (config vocabulary of base_architecture.py:79-186)
+# ---------------------------------------------------------------------------
+
+def build_schedule(lr: float, scheduler: Optional[str],
+                   sp: Optional[Dict[str, Any]] = None):
+    sp = dict(sp or {})
+    if scheduler is None:
+        return lr
+    if scheduler == "multi_step_lr":
+        gamma = sp.get("gamma", 0.5)
+        milestones = sp.get("milestones", [])
+        return optax.piecewise_constant_schedule(
+            lr, {int(m): gamma for m in milestones})
+    if scheduler == "step_lr":
+        gamma = sp.get("gamma", 0.1)
+        step_size = int(sp.get("step_size", 1000))
+        return lambda t: lr * gamma ** (t // step_size)
+    if scheduler == "cosine_warm_restarts":
+        t0 = int(sp.get("restart_period", sp.get("t_0", 100000)))
+        eta_min = sp.get("eta_min", 1e-7)
+        def sched(t):
+            frac = (t % t0) / t0
+            return eta_min + (lr - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        return sched
+    if scheduler == "one_cycle":
+        total = int(sp.get("total_steps", 100000))
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total, peak_value=sp.get("max_lr", lr * 10))
+    if scheduler == "cosine":
+        total = int(sp.get("total_steps", 100000))
+        return optax.cosine_decay_schedule(lr, total,
+                                           alpha=sp.get("alpha", 0.0))
+    raise ValueError(f"Unknown scheduler {scheduler!r}")
+
+
+def build_optimizer(lr: float = 1e-4, optimizer_type: str = "adam",
+                    scheduler: Optional[str] = None,
+                    scheduler_params: Optional[Dict[str, Any]] = None,
+                    grad_clip: Optional[float] = None,
+                    weight_decay: float = 0.0) -> optax.GradientTransformation:
+    schedule = build_schedule(lr, scheduler, scheduler_params)
+    if optimizer_type == "adam":
+        opt = optax.adam(schedule, b1=0.9, b2=0.999)
+    elif optimizer_type == "adamw":
+        opt = optax.adamw(schedule, weight_decay=weight_decay)
+    elif optimizer_type == "rmsprop":
+        opt = optax.rmsprop(schedule)
+    elif optimizer_type == "sgd":
+        opt = optax.sgd(schedule, momentum=scheduler_params.get("momentum", 0.9)
+                        if scheduler_params else 0.9)
+    else:
+        raise ValueError(f"Unknown optimizer {optimizer_type!r}")
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(opt)
+    return optax.chain(*chain)
+
+
+PIXEL_LOSSES: Dict[str, Callable] = {
+    "l1": lambda a, b: jnp.mean(jnp.abs(a - b)),
+    "l2": lambda a, b: jnp.mean((a - b) ** 2),
+    "mse": lambda a, b: jnp.mean((a - b) ** 2),
+    "charbonnier": lambda a, b: jnp.mean(jnp.sqrt((a - b) ** 2 + 1e-6)),
+}
+
+
+# ---------------------------------------------------------------------------
+# Base handler
+# ---------------------------------------------------------------------------
+
+class BaseHandler:
+    """One handler per architecture family; the registry instantiates these
+    by name (mirrors `define_model`, shared_framework/models/__init__.py:28)."""
+
+    loss_type: str = "l1"
+    # Q-models flip this so the eval path feeds degradation metadata in.
+    uses_metadata: bool = False
+    # Channels the network consumes ('rgb' => 3, 'ycbcr'-Y-only => 1).
+    colorspace: str = "rgb"
+
+    def __init__(self, scale: int = 4, in_features: int = 3,
+                 lr: float = 1e-4, optimizer_type: str = "adam",
+                 scheduler: Optional[str] = None,
+                 scheduler_params: Optional[Dict[str, Any]] = None,
+                 grad_clip: Optional[float] = None,
+                 loss: Optional[str] = None,
+                 dtype: str = "float32",
+                 seed: int = 0,
+                 **model_kwargs):
+        self.scale = scale
+        self.in_features = in_features
+        self.dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+        self.lr = lr
+        if loss is not None:
+            self.loss_type = loss
+        self.model_kwargs = model_kwargs
+        self.module = self.build_module(**model_kwargs)
+        self.tx = build_optimizer(lr, optimizer_type, scheduler,
+                                  scheduler_params, grad_clip)
+        self.seed = seed
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- subclass surface --------------------------------------------------
+
+    def build_module(self, **kwargs) -> nn.Module:
+        raise NotImplementedError
+
+    def example_inputs(self, batch: int = 1, size: int = 16) -> Tuple:
+        """Inputs used for parameter init / compile checks."""
+        return (jnp.zeros((batch, size, size, self.in_features),
+                          jnp.float32),)
+
+    def apply(self, params, batch: Dict[str, Any], train: bool = False,
+              rng: Optional[jax.Array] = None, extra: Any = None):
+        """Network forward for a batch dict. Returns (sr, aux_dict, new_extra)."""
+        sr = self.module.apply({"params": params}, batch["lr"])
+        return sr, {}, extra
+
+    def compute_losses(self, sr, batch, aux: Dict[str, Any]) -> Dict[str, Any]:
+        pixel = PIXEL_LOSSES[self.loss_type](sr, batch["hr"])
+        losses = {"train-loss": pixel}
+        losses.update(aux)
+        return losses
+
+    def init_extra(self, rng) -> Any:
+        return {}
+
+    # -- state lifecycle ---------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed if seed is None else seed)
+        prng, erng, srng = jax.random.split(rng, 3)
+        variables = self.module.init(prng, *self.example_inputs())
+        params = variables["params"]
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state, extra=self.init_extra(erng),
+                          rng=srng)
+
+    def num_parameters(self, state: TrainState) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+
+    # -- train / eval ------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            sr, aux, new_extra = self.apply(params, batch, train=True,
+                                            rng=sub, extra=state.extra)
+            losses = self.compute_losses(sr, batch, aux)
+            return losses["train-loss"], (losses, new_extra)
+
+        grads, (losses, new_extra) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, rng=rng,
+                                  extra=new_extra if new_extra is not None
+                                  else state.extra)
+        return new_state, losses
+
+    def train_batch(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        """One optimizer step (``standard_update`` parity:
+        base_architecture.py:425-440 — grads, clip, step, schedule)."""
+        state, losses = self._train_step(state, batch)
+        return state, losses
+
+    def _eval_step_impl(self, state_params_extra, batch):
+        params, extra = state_params_extra
+        sr, aux, _ = self.apply(params, batch, train=False, extra=extra)
+        return sr
+
+    def run_eval(self, state: TrainState, batch) -> jnp.ndarray:
+        return self._eval_step((state.params, state.extra), batch)
+
+    def run_model(self, state: TrainState, lr_img, metadata=None):
+        batch = {"lr": lr_img}
+        if metadata is not None:
+            batch["metadata"] = metadata
+        return self.run_eval(state, batch)
+
+    # -- checkpointing (base_architecture.py:231-423 contract) -------------
+
+    def handler_metadata(self) -> Dict[str, Any]:
+        return {}
+
+    def save_model(self, state: TrainState, model_save_dir: str, epoch: int,
+                   minimal: bool = False) -> str:
+        path = ckpt.checkpoint_path(model_save_dir, epoch)
+        payload = {
+            "network": state.params,
+            "optimizer": state.opt_state,
+            "extra": state.extra,
+            "step": state.step,
+            "rng": state.rng,
+            "model_name": getattr(self, "registered_name", type(self).__name__),
+            "model_epoch": epoch,
+            "handler_metadata": self.handler_metadata(),
+        }
+        ckpt.save_checkpoint(path, payload, minimal=minimal)
+        return path
+
+    def load_model(self, model_save_dir: str, epoch="last",
+                   summary_csv: Optional[str] = None,
+                   skip_optimizer_load: bool = False) -> Tuple[TrainState, int]:
+        epoch = ckpt.select_epoch(model_save_dir, epoch, summary_csv)
+        path = ckpt.checkpoint_path(model_save_dir, epoch)
+        template_state = self.init_state()
+        template = {
+            "network": template_state.params,
+            "optimizer": template_state.opt_state,
+            "extra": template_state.extra,
+            "step": template_state.step,
+            "rng": template_state.rng,
+            "model_name": "",
+            "model_epoch": 0,
+            "handler_metadata": self.handler_metadata(),
+        }
+        loaded = ckpt.load_checkpoint(path, template)
+        opt_state = (template_state.opt_state if skip_optimizer_load
+                     else loaded["optimizer"])
+        state = TrainState(step=jnp.asarray(loaded["step"]),
+                           params=loaded["network"], opt_state=opt_state,
+                           extra=loaded["extra"], rng=jnp.asarray(loaded["rng"]))
+        return state, epoch

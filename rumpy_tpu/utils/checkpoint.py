@@ -1,0 +1,115 @@
+"""Checkpoint store.
+
+Mirrors the reference's contract (SURVEY.md §5 "Checkpoint / resume",
+base_architecture.py:231-423): one file per epoch named
+``saved_models/train_model_<epoch>`` containing network weights + optimizer
+/ scheduler state + step counters + model name/epoch + handler extras
+(e.g. metadata_keys for Q-models, discriminator state for GANs), with
+``best | last`` selection driven by ``result_outputs/summary.csv`` and the
+metric-direction table. ``minimal=True`` strips optimizer state
+(base_interface.py:236-261).
+
+Storage is msgpack via flax.serialization (host-side, process-0 only in
+multi-host runs). Structures are restored onto caller-provided templates so
+optax NamedTuple opt-states round-trip exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from rumpy_tpu.config.constants import metric_best_val
+
+CKPT_PREFIX = "train_model_"
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+# Keys holding JSON-able metadata (strings/dicts) rather than array pytrees;
+# flax's msgpack codec only handles ndarray leaves.
+_META_KEYS = ("model_name", "model_epoch", "handler_metadata")
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any],
+                    minimal: bool = False) -> None:
+    import json
+    payload = dict(payload)
+    if minimal:
+        payload.pop("optimizer", None)
+    meta = {k: payload.pop(k) for k in list(payload)
+            if k in _META_KEYS or isinstance(payload[k], (str, type(None)))}
+    state = serialization.to_state_dict(_to_host(payload))
+    blob = {"arrays": state, "meta_json": json.dumps(meta).encode()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(blob, in_place=True))
+
+
+def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
+    """Load a checkpoint. With a template, typed structures (optax states,
+    flax params) are restored in place of raw dicts."""
+    import json
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    raw = blob["arrays"]
+    meta = json.loads(bytes(blob["meta_json"]).decode())
+    if template is not None:
+        arr_template = {k: v for k, v in template.items() if k not in meta}
+        raw = serialization.from_state_dict(arr_template, raw)
+    raw = dict(raw)
+    raw.update(meta)
+    return raw
+
+
+def checkpoint_path(model_save_dir: str, epoch: int) -> str:
+    return os.path.join(model_save_dir, f"{CKPT_PREFIX}{epoch}")
+
+
+def available_epochs(model_save_dir: str):
+    if not os.path.isdir(model_save_dir):
+        return []
+    eps = []
+    for fname in os.listdir(model_save_dir):
+        m = re.fullmatch(rf"{CKPT_PREFIX}(\d+)", fname)
+        if m:
+            eps.append(int(m.group(1)))
+    return sorted(eps)
+
+
+def select_epoch(model_save_dir: str, which, summary_csv: Optional[str] = None,
+                 metric: str = "val-PSNR") -> int:
+    """Resolve 'best' | 'last' | int to a concrete epoch number
+    (base_interface.py:86-108 semantics)."""
+    if isinstance(which, int):
+        return which
+    eps = available_epochs(model_save_dir)
+    if not eps:
+        raise FileNotFoundError(f"No checkpoints in {model_save_dir}")
+    if which == "last":
+        return eps[-1]
+    if which == "best":
+        if summary_csv is None or not os.path.isfile(summary_csv):
+            return eps[-1]
+        import pandas as pd
+        df = pd.read_csv(summary_csv)
+        if metric not in df.columns:
+            # Fall back to any known metric present, else last epoch.
+            present = [m for m in metric_best_val if m in df.columns]
+            if not present:
+                return eps[-1]
+            metric = present[0]
+        direction = metric_best_val.get(metric, "max")
+        col = df[metric]
+        idx = int(col.idxmax() if direction == "max" else col.idxmin())
+        epoch = int(df["epoch"].iloc[idx]) if "epoch" in df.columns else idx
+        # Snap to an existing checkpoint (clean_models may have pruned).
+        return min(eps, key=lambda e: abs(e - epoch))
+    raise ValueError(f"Unknown epoch selector {which!r}")

