@@ -126,6 +126,49 @@ def _uniform(key, batch, rng_range):
     return jax.random.uniform(key, (batch,), minval=lo, maxval=hi)
 
 
+def sample_srmd_kernels(key: jax.Array, batch: int, kernel_size: int = 21,
+                        sig: float = 2.6, sig_min: float = 0.2,
+                        sig_max: float = 4.0, rate_iso: float = 1.0,
+                        scaling: float = 3.0, random: bool = True,
+                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """SRMD/IKC-style Gaussian kernel sampling
+    (reference srmd_gaussian_blur.py:204-245): isotropic with prob
+    `rate_iso` and sigma ~ U(sig_min, sig_max); anisotropic with
+    pi ~ U(-pi, pi), x ~ U(sig_min, sig_max),
+    y = clip(U(0,1)*scaling*x, sig_min, sig_max). Non-random mode pins the
+    isotropic sigma to `sig`.
+
+    Metadata mirrors SRMDGaussianBlur.postprocess_metadata
+    (blur/__init__.py:383-399): isotropic_sigma + anisotropic_{x,y,pi}.
+    """
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    if not random:
+        sigma = jnp.full((batch,), sig)
+        kernels = gaussian_kernels(kernel_size, sigma, sigma,
+                                   jnp.zeros((batch,)))
+        return kernels, {"isotropic_sigma": sigma,
+                         "anisotropic_x": jnp.zeros((batch,)),
+                         "anisotropic_y": jnp.zeros((batch,)),
+                         "anisotropic_pi": jnp.zeros((batch,))}
+    is_iso = jax.random.uniform(k1, (batch,)) < rate_iso
+    sigma = jax.random.uniform(k2, (batch,), minval=sig_min, maxval=sig_max)
+    pi_ang = jax.random.uniform(k3, (batch,), minval=-math.pi, maxval=math.pi)
+    x = jax.random.uniform(k4, (batch,), minval=sig_min, maxval=sig_max)
+    y = jnp.clip(jax.random.uniform(k5, (batch,)) * scaling * x,
+                 sig_min, sig_max)
+    sx = jnp.where(is_iso, sigma, x)
+    sy = jnp.where(is_iso, sigma, y)
+    th = jnp.where(is_iso, 0.0, pi_ang)
+    kernels = gaussian_kernels(kernel_size, sx, sy, th)
+    z = jnp.zeros((batch,))
+    return kernels, {
+        "isotropic_sigma": jnp.where(is_iso, sigma, 0.0),
+        "anisotropic_x": jnp.where(is_iso, z, x),
+        "anisotropic_y": jnp.where(is_iso, z, y),
+        "anisotropic_pi": jnp.where(is_iso, z, pi_ang),
+    }
+
+
 def sample_kernels(key: jax.Array, batch: int,
                    cfg: BlurKernelConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sample a batch of blur kernels + metadata.

@@ -1,0 +1,126 @@
+"""Degradation-pipeline tests: op registry, host CSV contract, fused
+on-device path, metadata vectorization."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from rumpy_tpu.degradations import ImagePipeline, fused_degrade
+from rumpy_tpu.registry import available_tools
+
+PIPE = [["realesrganblur", "blur_cfg"], ["downsample", "down_cfg"],
+        ["realesrgannoise", "noise_cfg"], ["jpegcompress", "jpeg_cfg"]]
+CFGS = {
+    "blur_cfg": {"kernel_range": ["iso", "aniso"], "kernel_size": 9,
+                 "request_kernel_metadata": True},
+    "down_cfg": {"scale": 2},
+    "noise_cfg": {"gaussian_noise_sigma_range": (5, 10),
+                  "gaussian_poisson_ratio": 1.0},
+    "jpeg_cfg": {"quality": 80},
+}
+
+
+def test_tool_registry():
+    tools = available_tools()
+    for name in ["realesrganblur", "srmdgaussianblur", "bsrganblur",
+                 "realesrgannoise", "jpegcompress", "jmcompress",
+                 "randomcompress", "downsample", "upsample"]:
+        assert name in tools, name
+
+
+def test_host_pipeline_csv_contract(tmp_path, rng):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    os.makedirs(src)
+    os.makedirs(out)
+    for name in ["a.png", "b.png"]:
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                        ).save(src / name)
+    pipe = ImagePipeline(PIPE, deg_configs=CFGS, seed=1)
+    pipe.run_pipeline(image_files=[str(src / "a.png"), str(src / "b.png")],
+                      save_to_dir=str(out), progress_bar_off=True,
+                      multiples=2)
+    files = sorted(os.listdir(out))
+    assert "a_q0.png" in files and "a_q1.png" in files
+    assert "degradation_metadata.csv" in files
+    assert "degradation_hyperparameters.csv" in files
+    meta = pd.read_csv(out / "degradation_metadata.csv", index_col="image")
+    assert len(meta) == 4
+    assert "0-realesrganblur-sigma_x" in meta.columns
+    assert "1-downsample-scale" in meta.columns
+    assert "2-realesrgannoise-gaussian_noise_scale" in meta.columns
+    assert "3-jpegcompress-quality" in meta.columns
+    # LR output size = 32/2
+    im = Image.open(out / "a_q0.png")
+    assert im.size == (16, 16)
+    hp = pd.read_csv(out / "degradation_hyperparameters.csv")
+    assert set(hp["degradation"]) == {"realesrganblur", "downsample",
+                                      "realesrgannoise", "jpegcompress"}
+
+
+def test_fused_device_pipeline(jkey, rng):
+    pipe = ImagePipeline(PIPE, deg_configs=CFGS)
+    assert pipe.supports_fused()
+    fn = fused_degrade(pipe)
+    hr = jnp.asarray(rng.random((4, 32, 32, 3)).astype(np.float32))
+    lr, meta_mat = fn(jkey, hr)
+    assert lr.shape == (4, 16, 16, 3)
+    keys = fn.metadata_keys(sample_shape=(4, 32, 32, 3))
+    assert meta_mat.shape == (4, len(keys))
+    assert "1-downsample-scale" in keys
+    # jit twice -> no retrace errors, deterministic under same key
+    lr2, meta2 = fn(jkey, hr)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr2))
+
+
+def test_pca_kernel_metadata(jkey, rng):
+    pipe = ImagePipeline(
+        [["realesrganblur", "b"], ["downsample", "d"]],
+        deg_configs={"b": {"kernel_range": ["iso"], "kernel_size": 9,
+                           "request_pca_kernels": True, "pca_batch_len": 200,
+                           "pca_length": 4},
+                     "d": {"scale": 2}})
+    fn = fused_degrade(pipe)
+    hr = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    lr, mat = fn(jkey, hr)
+    keys = fn.metadata_keys((2, 16, 16, 3))
+    assert keys.count("0-realesrganblur-blur_kernel") == 4
+    assert mat.shape == (2, len(keys))
+
+
+def test_jm_fallback_monotonic(rng):
+    from rumpy_tpu.degradations.compression import JMCompress
+    img = Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    errs = []
+    for qpi in (20, 45):
+        op = JMCompress(qpi=qpi, normalize_metadata=False)
+        out, meta = op(img)
+        assert meta["qpi"] == qpi
+        errs.append(np.mean((np.asarray(out).astype(float)
+                             - np.asarray(img).astype(float)) ** 2))
+    assert errs[1] > errs[0]
+
+
+def test_srmd_blur_host(rng):
+    from rumpy_tpu.degradations.blur import SRMDGaussianBlur
+    op = SRMDGaussianBlur(random=True, rate_iso=1.0,
+                          request_kernel_metadata=True)
+    img = Image.fromarray((rng.random((24, 24, 3)) * 255).astype(np.uint8))
+    out, meta = op(img)
+    assert out.size == img.size
+    assert "isotropic_sigma" in meta and 0.2 <= meta["isotropic_sigma"] <= 4.0
+
+
+def test_random_compress_dual_columns(rng):
+    from rumpy_tpu.degradations.compression import RandomCompress
+    op = RandomCompress(jm_params={"qpi": 30}, jpeg_params={"quality": 60})
+    img = Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8))
+    np.random.seed(0)
+    _, meta = op(img)
+    assert set(meta) == {"jm_qpi", "jpeg_quality"}
+    assert (meta["jm_qpi"] == 0) != (meta["jpeg_quality"] == 0)
