@@ -93,11 +93,18 @@ def _fmt_value(v: Any) -> str:
     raise TypeError(f"Cannot TOML-serialize {type(v)}: {v!r}")
 
 
+def _is_table_array(v: Any) -> bool:
+    return (isinstance(v, (list, tuple)) and len(v) > 0
+            and all(isinstance(x, Mapping) for x in v))
+
+
 def _emit_table(d: Mapping[str, Any], prefix: str, lines: list) -> None:
     scalars = {k: v for k, v in d.items()
-               if v is not None and not isinstance(v, Mapping)}
+               if v is not None and not isinstance(v, Mapping)
+               and not _is_table_array(v)}
     tables = {k: v for k, v in d.items() if isinstance(v, Mapping)}
-    if prefix and (scalars or not tables):
+    table_arrays = {k: v for k, v in d.items() if _is_table_array(v)}
+    if prefix and (scalars or not (tables or table_arrays)):
         lines.append(f"[{prefix}]")
     for k, v in scalars.items():
         lines.append(f"{k} = {_fmt_value(v)}")
@@ -105,6 +112,14 @@ def _emit_table(d: Mapping[str, Any], prefix: str, lines: list) -> None:
         lines.append("")
     for k, v in tables.items():
         _emit_table(v, f"{prefix}.{k}" if prefix else k, lines)
+    for k, entries in table_arrays.items():
+        name = f"{prefix}.{k}" if prefix else k
+        for entry in entries:
+            lines.append(f"[[{name}]]")
+            for ek, ev in entry.items():
+                if ev is not None:
+                    lines.append(f"{ek} = {_fmt_value(ev)}")
+            lines.append("")
 
 
 def dump_toml(cfg: Mapping[str, Any], path: str | None = None) -> str:

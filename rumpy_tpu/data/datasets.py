@@ -1,0 +1,239 @@
+"""SuperResImages dataset — host-side image provider for training/eval.
+
+Behavioral mirror of rumpy/sr_tools/data_handler.py:199-648, re-scoped for
+TPU: the dataset stays a plain Python indexable that decodes PNG/JPG,
+pairs LR/HR, crops/augments patches, and attaches degradation metadata —
+but returns channel-LAST float32 numpy dicts ready for device_put. Heavy
+per-image degradation moves OUT of the dataset and onto the device
+(online_degradations mode returns HR patches; the training loop feeds them
+through the fused on-device pipeline).
+
+Key behaviors kept from the reference:
+  * dataset/custom/split selection over a sorted listing (:406-442);
+  * `_qN` group-tag filtering for multi-degraded datasets (:376-404);
+  * blacklists (:444-459);
+  * metadata CSV ingestion via read_augmentation_list (metadata.py);
+  * ycbcr (Y-only, jpg-mode) vs rgb colorspace (:461-492);
+  * 'interp' input mode — LR pre-upsampled with PIL-parity bicubic for
+    SRCNN/VDSR (:498-528);
+  * HR center-crop alignment to LR*scale (:530-558);
+  * random flip/rot augmentation + random patch cropping (:570-611).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from rumpy_tpu.config.constants import dataset_splits
+from rumpy_tpu.data.metadata import read_augmentation_list
+from rumpy_tpu.ops import resize as resize_ops
+from rumpy_tpu.utils.color import rgb_to_ycbcr
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+_QTAG = re.compile(r"_q(\d+)\.")
+
+
+def list_images(directory: str, recursive: bool = False) -> List[str]:
+    out: List[str] = []
+    for root, _dirs, names in os.walk(directory):
+        for n in sorted(names):
+            if n.lower().endswith(IMG_EXTS):
+                out.append(os.path.join(root, n))
+        if not recursive:
+            break
+    return sorted(out)
+
+
+def _decode(path: str) -> np.ndarray:
+    im = Image.open(path).convert("RGB")
+    return np.asarray(im)
+
+
+class SuperResImages:
+    def __init__(self, lr_dir: Optional[str] = None,
+                 hr_dir: Optional[str] = None,
+                 dataset: Optional[str] = None,
+                 split: Optional[str] = None,
+                 custom_split: Optional[Sequence[int]] = None,
+                 recursive_search: bool = False,
+                 input: str = "unmodified",
+                 colorspace: str = "rgb",
+                 scale: int = 4,
+                 metadata_file: Optional[str] = None,
+                 metadata: Optional[Sequence[str]] = None,
+                 metadata_normalize=True,
+                 qpi_selection=None,
+                 ignore_degradation_location: bool = False,
+                 blacklist: Optional[Sequence[str]] = None,
+                 group_select: Optional[Sequence[int]] = None,
+                 crop: Optional[int] = None,
+                 augmentations: bool = False,
+                 online_degradations: bool = False,
+                 degradation_pipeline=None,
+                 seed: int = 0):
+        self.scale = scale
+        self.input = input
+        self.colorspace = colorspace
+        self.crop = crop
+        self.augmentations = augmentations
+        self.online_degradations = online_degradations
+        self.degradation_pipeline = degradation_pipeline
+        self.requested_metadata = list(metadata) if metadata else None
+        self._rng = np.random.default_rng(seed)
+
+        base_dir = hr_dir if (online_degradations or lr_dir is None) else lr_dir
+        if base_dir is None:
+            raise ValueError("Need lr_dir or hr_dir")
+        files = list_images(base_dir, recursive_search)
+
+        # group-tag `_qN` filtering (multi-degraded datasets)
+        if group_select is not None:
+            keep = set(int(g) for g in group_select)
+            files = [f for f in files
+                     if (_QTAG.search(os.path.basename(f)) is not None
+                         and int(_QTAG.search(os.path.basename(f)).group(1))
+                         in keep)]
+
+        # split selection over the sorted listing
+        if dataset is not None and split is not None:
+            lo, hi = dataset_splits[dataset][split]
+            files = files[lo:hi]
+        elif custom_split is not None:
+            lo, hi = custom_split
+            files = files[lo:hi]
+
+        if blacklist:
+            banned = set(os.path.basename(b) for b in blacklist)
+            files = [f for f in files if os.path.basename(f) not in banned]
+
+        self.lr_files = files
+        self.lr_base = base_dir
+        self.hr_dir = hr_dir
+
+        # metadata ingestion
+        self.metadata_keys: List[str] = []
+        self.metadata_map: Dict[str, np.ndarray] = {}
+        if metadata_file is not None:
+            names = [os.path.basename(f) for f in files]
+            self.metadata_map, self.metadata_keys = read_augmentation_list(
+                metadata_file, names, normalize=metadata_normalize,
+                ignore_degradation_location=ignore_degradation_location,
+                qpi_selection=qpi_selection)
+            # QPI filtering may drop images
+            kept = set(self.metadata_map.keys())
+            self.lr_files = [f for f in files if os.path.basename(f) in kept]
+
+    def __len__(self) -> int:
+        return len(self.lr_files)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _hr_path(self, lr_path: str) -> Optional[str]:
+        if self.hr_dir is None:
+            return None
+        name = os.path.basename(lr_path)
+        base = _QTAG.sub(".", name)  # strip _qN multi-degradation tag
+        cand = os.path.join(self.hr_dir, base)
+        if os.path.isfile(cand):
+            return cand
+        stem = os.path.splitext(base)[0]
+        for ext in IMG_EXTS:
+            c = os.path.join(self.hr_dir, stem + ext)
+            if os.path.isfile(c):
+                return c
+        return None
+
+    def _colorspace_convert(self, arr_u8: np.ndarray) -> np.ndarray:
+        x = arr_u8.astype(np.float32) / 255.0
+        if self.colorspace == "ycbcr":
+            return np.asarray(rgb_to_ycbcr(x, y_only=True, im_type="jpg"))
+        return x
+
+    def _augment(self, *imgs: np.ndarray) -> List[np.ndarray]:
+        hflip = self._rng.random() < 0.5
+        vflip = self._rng.random() < 0.5
+        rot = self._rng.random() < 0.5
+
+        def f(a):
+            if hflip:
+                a = a[:, ::-1]
+            if vflip:
+                a = a[::-1]
+            if rot:
+                a = a.transpose(1, 0, 2)
+            return np.ascontiguousarray(a)
+        return [f(i) for i in imgs]
+
+    # -- main accessor -----------------------------------------------------
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        lr_path = self.lr_files[idx]
+        tag = os.path.basename(lr_path)
+        arr = _decode(lr_path)
+
+        if self.online_degradations:
+            # HR-only mode: return an HR patch; LR synthesized on device.
+            hr = arr
+            if self.crop is not None:
+                cs = self.crop * self.scale
+                top = int(self._rng.integers(0, max(1, hr.shape[0] - cs + 1)))
+                left = int(self._rng.integers(0, max(1, hr.shape[1] - cs + 1)))
+                hr = hr[top:top + cs, left:left + cs]
+            hr_f = self._colorspace_convert(hr)
+            if self.augmentations:
+                hr_f, = self._augment(hr_f)
+            return {"hr": hr_f.astype(np.float32), "tag": tag,
+                    "metadata": np.array([], np.float32),
+                    "metadata_keys": []}
+
+        hr_path = self._hr_path(lr_path)
+        out: Dict[str, Any] = {"tag": tag}
+
+        lr = arr
+        hr = _decode(hr_path) if hr_path else None
+
+        if hr is not None:
+            # HR center-crop alignment to LR*scale (data_handler.py:530-558)
+            th, tw = lr.shape[0] * self.scale, lr.shape[1] * self.scale
+            oh = (hr.shape[0] - th) // 2
+            ow = (hr.shape[1] - tw) // 2
+            hr = hr[oh:oh + th, ow:ow + tw]
+
+        if self.input == "interp":
+            lr = np.asarray(resize_ops.pil_resize(
+                lr, (lr.shape[0] * self.scale, lr.shape[1] * self.scale)))
+
+        lr_f = self._colorspace_convert(lr)
+        hr_f = self._colorspace_convert(hr) if hr is not None else None
+
+        if self.crop is not None:
+            cs = self.crop
+            eff_scale = 1 if self.input == "interp" else self.scale
+            top = int(self._rng.integers(0, max(1, lr_f.shape[0] - cs + 1)))
+            left = int(self._rng.integers(0, max(1, lr_f.shape[1] - cs + 1)))
+            lr_f = lr_f[top:top + cs, left:left + cs]
+            if hr_f is not None:
+                hs = cs * eff_scale
+                hr_f = hr_f[top * eff_scale:top * eff_scale + hs,
+                            left * eff_scale:left * eff_scale + hs]
+
+        if self.augmentations:
+            if hr_f is not None:
+                lr_f, hr_f = self._augment(lr_f, hr_f)
+            else:
+                lr_f, = self._augment(lr_f)
+
+        out["lr"] = lr_f.astype(np.float32)
+        if hr_f is not None:
+            out["hr"] = hr_f.astype(np.float32)
+
+        meta = self.metadata_map.get(tag)
+        out["metadata"] = (meta if meta is not None
+                           else np.array([], np.float32))
+        out["metadata_keys"] = self.metadata_keys
+        return out

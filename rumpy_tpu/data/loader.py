@@ -1,0 +1,129 @@
+"""Batch assembly + background prefetch, and config-driven loader setup.
+
+Replaces torch DataLoader + BackgroundGenerator (reference
+data_setup.py:197-203, base_handler.py:215): a thread pool decodes/crops
+items ahead of the training loop (PIL decode releases the GIL in C), so
+the host pipeline overlaps device steps. Device transfer happens in the
+trainer via parallel.shard_batch — double-buffered by JAX's async
+dispatch.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray) and vals[0].dtype != object:
+            # Stack only if shapes agree (full-image eval keeps lists).
+            shapes = {v.shape for v in vals}
+            out[k] = np.stack(vals) if len(shapes) == 1 else vals
+        else:
+            out[k] = vals
+    return out
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence[Any]):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int):
+        ds = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[ds][idx - self._offsets[ds]]
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 4,
+                 prefetch: int = 2, seed: int = 0, collate=default_collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.collate = collate
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        n_b = len(self)
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(n_b)]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._batches()
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            def load_batch(b):
+                return self.collate([self.dataset[int(i)] for i in b])
+            pending = []
+            it = iter(batches)
+            for _ in range(self.prefetch):
+                try:
+                    pending.append(pool.submit(load_batch, next(it)))
+                except StopIteration:
+                    break
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    pending.append(pool.submit(load_batch, next(it)))
+                except StopIteration:
+                    pass
+                yield fut.result()
+
+
+def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
+                    eval_batch_size: int = 1, dataloader_threads: int = 4,
+                    input: str = "unmodified", colorspace: str = "rgb",
+                    crop: Optional[int] = None, augmentations: bool = False,
+                    metadata: Optional[Sequence[str]] = None, seed: int = 0):
+    """Build train/val loaders from the config's
+    [data.training_sets.data_N] / [data.eval_sets.data_N] tables
+    (reference data_setup.py:61-207). Returns (train_loader, eval_loader)
+    — either may be None."""
+    from rumpy_tpu.data.datasets import SuperResImages
+
+    def build(sets_cfg, is_train):
+        if not sets_cfg:
+            return None
+        datasets = []
+        for name in sorted(sets_cfg.keys()):
+            ds_cfg = dict(sets_cfg[name])
+            ds_cfg.setdefault("scale", scale)
+            ds_cfg.setdefault("input", input)
+            ds_cfg.setdefault("colorspace", colorspace)
+            if is_train:
+                ds_cfg.setdefault("crop", crop)
+                ds_cfg.setdefault("augmentations", augmentations)
+            if metadata is not None:
+                ds_cfg.setdefault("metadata", metadata)
+            ds_cfg.setdefault("seed", seed)
+            ds_cfg.pop("name", None)
+            datasets.append(SuperResImages(**ds_cfg))
+        ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+        return DataLoader(
+            ds, batch_size=batch_size if is_train else eval_batch_size,
+            shuffle=is_train, drop_last=is_train,
+            num_workers=dataloader_threads, seed=seed)
+
+    train = build(data_cfg.get("training_sets"), True)
+    evalu = build(data_cfg.get("eval_sets"), False)
+    return train, evalu

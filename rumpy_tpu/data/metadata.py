@@ -1,0 +1,92 @@
+"""Degradation-metadata CSV ingestion.
+
+Mirrors read_augmentation_list (rumpy/sr_tools/data_handler.py:62-161):
+list-valued columns (JSON) expand into repeated keys; numeric columns
+normalize to [0,1] by column min/max — except QPI which pins to the (20,40)
+range when force_qpi_range; optional QPI band filtering; keys lowercased;
+optional stripping of the 'N-' degradation-position prefix.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def read_augmentation_list(metadata_file: Optional[str],
+                           filenames: Sequence[str],
+                           normalize=True,
+                           ignore_degradation_location: bool = False,
+                           force_qpi_range: bool = True,
+                           qpi_selection: Optional[Sequence[float]] = None,
+                           attribute_skip: Optional[Sequence[str]] = None,
+                           ) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    keys: List[str] = []
+    qpi_cutoffs = bool(qpi_selection) and None not in qpi_selection
+
+    if metadata_file is None:
+        return {f: np.array([]) for f in filenames}, keys
+
+    aug = pd.read_csv(metadata_file, header=0, index_col=0)
+    if ignore_degradation_location:
+        aug.rename(columns={c: (c[2:] if c[0].isdigit() else c)
+                            for c in aug.columns}, inplace=True)
+    for col in list(aug.columns):
+        if attribute_skip and col in attribute_skip:
+            aug.drop(col, axis=1, inplace=True)
+            continue
+        if aug[col].dtype == object:
+            aug[col] = aug[col].apply(json.loads)
+            keys.extend([col.lower()] * len(aug[col].iloc[0]))
+        elif np.issubdtype(aug[col].dtype, np.number):
+            aug[col] = aug[col].astype(float)
+            keys.append(col.lower())
+            if col == "QPI" and force_qpi_range:
+                lo, hi = 20.0, 40.0
+            else:
+                lo, hi = aug[col].min(), aug[col].max()
+            wants_norm = (col in normalize if isinstance(normalize, list)
+                          else bool(normalize))
+            if wants_norm and hi > lo:
+                aug[col] = (aug[col] - lo) / (hi - lo)
+                if col == "QPI" and qpi_cutoffs:
+                    qpi_selection = [(q - lo) / (hi - lo)
+                                     for q in qpi_selection]
+        else:
+            raise RuntimeError("Unidentified datatype in metadata file.")
+
+    all_rows = aug.T.to_dict("list")
+    out: Dict[str, np.ndarray] = {}
+    for name in filenames:
+        vals: List[float] = []
+        for v in all_rows[name]:
+            if isinstance(v, list):
+                vals.extend(v)
+            else:
+                vals.append(v)
+        out[name] = np.asarray(vals, dtype=np.float32)
+
+    if qpi_cutoffs and "qpi" in keys:
+        pos = keys.index("qpi")
+        out = {im: v for im, v in out.items()
+               if qpi_selection[0] <= v[pos] <= qpi_selection[-1]}
+
+    return out, keys
+
+
+def select_metadata(vector: np.ndarray, keys: Sequence[str],
+                    requested: Sequence[str]) -> np.ndarray:
+    """Select metadata entries whose key matches any requested key
+    (QModel.generate_channels selection semantics,
+    attention_manipulators/__init__.py:86-107: order follows the request
+    list; repeated keys — e.g. PCA blur_kernel dims — all included)."""
+    out: List[float] = []
+    for req in requested:
+        for i, k in enumerate(keys):
+            if k == req or k.endswith(f"-{req}"):
+                out.append(vector[i])
+    return np.asarray(out, dtype=np.float32)

@@ -1,0 +1,180 @@
+"""EvalHub — multi-model comparison evaluation.
+
+Mirror of rumpy/shared_framework/evaluation/standard_eval.py:31-563:
+
+  * loads N (experiment, epoch) model bundles through SISRInterface;
+  * always computes the bicubic reference (optional Lanczos) with
+    PIL-parity resampling and timing (:240-276);
+  * models whose required metadata is missing from the dataset are
+    auto-dropped (:63-76);
+  * PSNR/SSIM computed on the Y channel of jpg-mode BT.601 YCbCr,
+    clip-to-[0,1] — the parity-defining semantics (metrics.py:109-149);
+  * writes `individual_metrics.csv` (rows = images, multi-level columns
+    model>metric) and `average_metrics.csv`, plus per-model SR PNGs and
+    optional comparison collages; per-model `runtime` columns kept.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from rumpy_tpu.data.datasets import SuperResImages
+from rumpy_tpu.data.loader import DataLoader
+from rumpy_tpu.interface import SISRInterface
+from rumpy_tpu.ops import resize as resize_ops
+from rumpy_tpu.utils.color import rgb_to_ycbcr
+from rumpy_tpu.utils.metrics import Metrics
+from rumpy_tpu.utils.visualization import (interpret_sisr_images,
+                                           safe_image_save)
+
+
+class EvalHub:
+    def __init__(self,
+                 models: Sequence[Dict[str, Any]],
+                 model_loc: str,
+                 data_cfg: Dict[str, Any],
+                 out_loc: str,
+                 scale: int = 4,
+                 metrics: Sequence[str] = ("PSNR", "SSIM"),
+                 save_im: bool = False,
+                 gallery: bool = False,
+                 lanczos_upsample: bool = False,
+                 time_models: bool = False,
+                 no_image_comparison: bool = False):
+        self.out_loc = out_loc
+        self.scale = scale
+        self.save_im = save_im
+        self.gallery = gallery
+        self.lanczos = lanczos_upsample
+        self.time_models = time_models
+        self.collages = not no_image_comparison and gallery
+        os.makedirs(out_loc, exist_ok=True)
+
+        # dataset: RGB full images, all available metadata
+        ds_cfg = dict(data_cfg)
+        ds_cfg.setdefault("scale", scale)
+        ds_cfg.setdefault("colorspace", "rgb")
+        self.dataset = SuperResImages(**ds_cfg)
+        self.loader = DataLoader(self.dataset, batch_size=1, shuffle=False,
+                                 num_workers=2)
+
+        # model bundles; drop models whose metadata is unavailable
+        self.models: Dict[str, SISRInterface] = {}
+        available_keys = set(self.dataset.metadata_keys)
+        for spec in models:
+            name = spec.get("label") or spec["experiment"]
+            iface = SISRInterface(
+                model_loc=model_loc, experiment=spec["experiment"],
+                mode="eval", load_epoch=spec.get("epoch", "best"),
+                scale=scale, no_directories=True,
+                new_params=spec.get("new_params") or {})
+            required = getattr(iface.model, "metadata_keys", None)
+            if required:
+                missing = [k for k in required
+                           if not any(a == k or a.endswith(f"-{k}")
+                                      for a in available_keys)]
+                if missing:
+                    print(f"dropping {name}: dataset lacks metadata "
+                          f"{missing}")
+                    continue
+            self.models[name] = iface
+
+        self.metric_hub = Metrics(list(metrics))
+
+    # ------------------------------------------------------------------
+
+    def _reference_outputs(self, lr_u8: np.ndarray
+                           ) -> Dict[str, Tuple[np.ndarray, float]]:
+        """Bicubic (and optional Lanczos) upsampled references + timing."""
+        h, w = lr_u8.shape[:2]
+        out = {}
+        t0 = time.perf_counter()
+        bic = np.asarray(resize_ops.pil_resize(
+            lr_u8, (h * self.scale, w * self.scale)))
+        out["bicubic"] = (bic.astype(np.float32) / 255.0,
+                          time.perf_counter() - t0)
+        if self.lanczos:
+            t0 = time.perf_counter()
+            lcz = np.asarray(resize_ops.pil_resize(
+                lr_u8, (h * self.scale, w * self.scale), filter="lanczos"))
+            out["lanczos"] = (lcz.astype(np.float32) / 255.0,
+                              time.perf_counter() - t0)
+        return out
+
+    @staticmethod
+    def _y_channel(rgb: np.ndarray) -> np.ndarray:
+        return np.asarray(rgb_to_ycbcr(np.clip(rgb, 0.0, 1.0), y_only=True,
+                                       im_type="jpg"))
+
+    def full_image_protocol(self) -> pd.DataFrame:
+        rows: Dict[str, Dict[str, float]] = defaultdict(dict)
+        for batch in self.loader:
+            lr = batch["lr"][0] if isinstance(batch["lr"], list) else batch["lr"][0]
+            hr = batch["hr"][0] if isinstance(batch["hr"], list) else batch["hr"][0]
+            tag = batch["tag"][0]
+            meta = None
+            metas = batch.get("metadata")
+            if metas is not None and np.size(metas[0]):
+                meta = np.asarray(metas[0])[None]
+
+            lr_u8 = (np.clip(lr, 0, 1) * 255.0).astype(np.uint8)
+            hr_y = self._y_channel(hr)
+
+            outputs: Dict[str, np.ndarray] = {}
+            for ref_name, (ref_img, elapsed) in \
+                    self._reference_outputs(lr_u8).items():
+                outputs[ref_name] = ref_img
+                rows[tag][f"{ref_name}>runtime"] = elapsed
+
+            for name, iface in self.models.items():
+                inp = lr
+                if getattr(iface.model, "im_input", "unmodified") == "interp":
+                    inp = outputs["bicubic"]
+                rgb, _ycc, _loss, elapsed = iface.net_run_and_process(
+                    inp[None], metadata=meta, timing=self.time_models)
+                outputs[name] = rgb[0]
+                if self.time_models and elapsed is not None:
+                    rows[tag][f"{name}>runtime"] = elapsed
+
+            for name, img in outputs.items():
+                if name.endswith(">runtime"):
+                    continue
+                sr_y = self._y_channel(img)
+                res = self.metric_hub.run_metrics(sr_y[None], hr_y[None],
+                                                  max_value=1.0)
+                for metric, vals in res.items():
+                    rows[tag][f"{name}>{metric}"] = vals[0]
+                if self.save_im:
+                    safe_image_save(img, os.path.join(self.out_loc, name),
+                                    tag)
+
+            if self.collages:
+                caps = {n: f"PSNR {rows[tag].get(f'{n}>PSNR', 0):.2f}"
+                        for n in outputs}
+                outputs_w_hr = {"HR": hr, **outputs}
+                interpret_sisr_images(
+                    outputs_w_hr,
+                    os.path.join(self.out_loc,
+                                 os.path.splitext(tag)[0] + "_comparison.pdf"),
+                    captions=caps)
+
+        return self.manipulate_and_save_metrics(rows)
+
+    def manipulate_and_save_metrics(self, rows) -> pd.DataFrame:
+        df = pd.DataFrame.from_dict(rows, orient="index")
+        df.index.rename("image", inplace=True)
+        # multi-level columns model>metric (standard_eval.py:537-556)
+        df.columns = pd.MultiIndex.from_tuples(
+            [tuple(c.split(">", 1)) for c in df.columns],
+            names=["model", "metric"])
+        df = df.sort_index(axis=1)
+        df.to_csv(os.path.join(self.out_loc, "individual_metrics.csv"))
+        avg = df.mean(axis=0).to_frame("mean").T
+        avg.to_csv(os.path.join(self.out_loc, "average_metrics.csv"))
+        return df

@@ -1,0 +1,221 @@
+"""SISRInterface — the model interface layer.
+
+Mirror of rumpy/shared_framework/models/base_interface.py:23-316 +
+rumpy/SISR/models/interface.py:12-131, functional-state edition: owns the
+experiment directory layout (``saved_models/``, ``result_outputs/``),
+config persistence/diff arbitration, epoch selection (int | 'best' |
+'last'), branching, handler construction via the registry, and colorspace
+post-processing of eval outputs (Y-channel models get Cb/Cr carried over
+from the bicubic-interpolated LR — interface.py:115-122).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rumpy_tpu.config.loader import (NoneDict, config_diff, dump_toml,
+                                     load_config, to_none_dict)
+from rumpy_tpu.registry import get_model
+from rumpy_tpu.utils import checkpoint as ckpt
+from rumpy_tpu.utils.color import rgb_to_ycbcr, ycbcr_to_rgb
+
+
+class SISRInterface:
+    def __init__(self, model_loc: Optional[str] = None,
+                 experiment: str = "experiment",
+                 gpu: str = "single",  # accepted for config parity; unused
+                 sp_gpu: int = 0,
+                 mode: str = "train",
+                 new_params: Optional[Dict[str, Any]] = None,
+                 load_epoch=None,
+                 scale: Optional[int] = None,
+                 no_directories: bool = False,
+                 new_params_override_load: Optional[bool] = None,
+                 save_subdir: Optional[str] = None,
+                 seed: int = 0,
+                 **kwargs):
+        self.experiment = experiment
+        self.mode = mode
+        self.scale = scale
+        self.no_directories = no_directories
+
+        self.base_folder = (os.path.join(model_loc, experiment)
+                            if model_loc else None)
+        if save_subdir and self.base_folder:
+            self.base_folder = os.path.join(self.base_folder, save_subdir)
+        self.model_save_dir = (os.path.join(self.base_folder, "saved_models")
+                               if self.base_folder else None)
+        self.logs_dir = (os.path.join(self.base_folder, "result_outputs")
+                         if self.base_folder else None)
+        if self.base_folder and not no_directories:
+            os.makedirs(self.model_save_dir, exist_ok=True)
+            os.makedirs(self.logs_dir, exist_ok=True)
+
+        self.metadata = self._metadata_load(new_params or {}, load_epoch,
+                                            new_params_override_load)
+        self.name = (self.metadata.get("name") or "rcan").lower()
+
+        internal = dict(self.metadata.get("internal_params") or {})
+        if scale is not None:
+            internal.setdefault("scale", scale)
+        internal.setdefault("seed", seed)
+        self.configuration = internal
+        handler_cls = get_model(self.name)
+        self.model = handler_cls(**internal)
+
+        self.state = self.model.init_state(seed)
+        self.model_epoch = 0
+        if load_epoch is not None:
+            summary = (os.path.join(self.logs_dir, "summary.csv")
+                       if self.logs_dir else None)
+            self.state, self.model_epoch = self.model.load_model(
+                self.model_save_dir, load_epoch, summary_csv=summary)
+            self.model_epoch += 1  # resume from the NEXT epoch
+
+    # ------------------------------------------------------------------
+    # Config persistence / diff arbitration (base_interface.py:170-206)
+    # ------------------------------------------------------------------
+
+    def _metadata_load(self, new_params, load_epoch, override):
+        cfg_path = (os.path.join(self.base_folder, "config.toml")
+                    if self.base_folder else None)
+        new_params = (new_params.as_plain()
+                      if isinstance(new_params, NoneDict) else dict(new_params))
+        if load_epoch is None or not cfg_path or not os.path.isfile(cfg_path):
+            meta = new_params
+        else:
+            original = load_config(cfg_path).as_plain().get("model", {})
+            diff = config_diff(original, new_params) if new_params else {}
+            changed = {k: v for k, v in diff.items()
+                       if v["old"] is not None and v["new"] is not None}
+            if not changed:
+                meta = new_params if override else (original or new_params)
+            elif override is None:
+                raise RuntimeError(
+                    "Parameter inconsistencies between current config and "
+                    f"saved-model config at {cfg_path}. Set "
+                    "new_params_override_load under [training] to True/False "
+                    f"to arbitrate. Diff: {changed}")
+            else:
+                meta = new_params if override else original
+        if (meta and self.scale is not None
+                and meta.get("internal_params", {}).get("scale") not in
+                (None, self.scale)):
+            raise Exception("The model loaded has been trained for a "
+                            "different scale, and cannot produce the "
+                            "requested images.")
+        return meta or {}
+
+    def save_metadata(self) -> None:
+        if not self.base_folder or self.no_directories:
+            return
+        dump_toml({"model": self.metadata},
+                  os.path.join(self.base_folder, "config.toml"))
+
+    # ------------------------------------------------------------------
+    # Branching (base_interface.py:148-158): resuming from a non-final
+    # epoch forks into branch_epoch_N to protect existing results.
+    # ------------------------------------------------------------------
+
+    def branch(self, epoch: int) -> str:
+        branch_dir = os.path.join(self.base_folder, f"branch_epoch_{epoch}")
+        new_models = os.path.join(branch_dir, "saved_models")
+        new_logs = os.path.join(branch_dir, "result_outputs")
+        os.makedirs(new_models, exist_ok=True)
+        os.makedirs(new_logs, exist_ok=True)
+        src_ckpt = ckpt.checkpoint_path(self.model_save_dir, epoch)
+        if os.path.isfile(src_ckpt):
+            shutil.copy(src_ckpt, ckpt.checkpoint_path(new_models, epoch))
+        summary = os.path.join(self.logs_dir, "summary.csv")
+        if os.path.isfile(summary):
+            shutil.copy(summary, os.path.join(new_logs, "summary.csv"))
+        self.base_folder = branch_dir
+        self.model_save_dir = new_models
+        self.logs_dir = new_logs
+        return branch_dir
+
+    # ------------------------------------------------------------------
+    # Train / eval entry points
+    # ------------------------------------------------------------------
+
+    def train_batch(self, lr=None, hr=None, metadata=None, **kwargs):
+        batch = {}
+        if lr is not None:
+            batch["lr"] = jnp.asarray(lr)
+        if hr is not None:
+            batch["hr"] = jnp.asarray(hr)
+        if metadata is not None and np.size(metadata):
+            batch["metadata"] = jnp.asarray(metadata)
+        self.state, losses = self.model.train_batch(self.state, batch)
+        return {k: float(v) for k, v in losses.items()}
+
+    def set_epoch(self, epoch: int) -> None:
+        self.model_epoch = epoch
+
+    def net_run_and_process(self, lr=None, hr=None, metadata=None,
+                            timing: bool = False, **kwargs):
+        """Eval forward with colorspace post-processing. `lr` is channel-last
+        RGB float [0,1] (pre-interpolated for interp-input models).
+        Returns (rgb, ycbcr) outputs, both clipped."""
+        import time
+        lr = jnp.asarray(lr)
+        if lr.ndim == 3:
+            lr = lr[None]
+        batch: Dict[str, Any] = {}
+        if metadata is not None and np.size(metadata):
+            batch["metadata"] = jnp.asarray(metadata)
+        t0 = time.perf_counter()
+        if self.model.colorspace == "rgb":
+            batch["lr"] = lr
+            out_rgb = self.model.run_eval(self.state, batch)
+            out_rgb = jnp.clip(out_rgb, 0.0, 1.0)
+            out_ycc = rgb_to_ycbcr(out_rgb, im_type="jpg")
+        else:
+            ycc = rgb_to_ycbcr(lr, im_type="jpg")
+            batch["lr"] = ycc[..., :1]
+            out_y = self.model.run_eval(self.state, batch)
+            out_ycc = jnp.concatenate([out_y, ycc[..., 1:]], axis=-1)
+            out_rgb = jnp.clip(ycbcr_to_rgb(out_ycc, im_type="jpg"), 0.0, 1.0)
+        out_rgb.block_until_ready()
+        elapsed = time.perf_counter() - t0
+        if timing:
+            return np.asarray(out_rgb), np.asarray(out_ycc), None, elapsed
+        return np.asarray(out_rgb), np.asarray(out_ycc), None, None
+
+    # ------------------------------------------------------------------
+    # Persistence
+    # ------------------------------------------------------------------
+
+    def save(self, minimal: bool = False) -> str:
+        return self.model.save_model(self.state, self.model_save_dir,
+                                     self.model_epoch, minimal=minimal)
+
+    def num_parameters(self) -> int:
+        return self.model.num_parameters(self.state)
+
+    def print_overview(self) -> None:
+        print(f"Model: {self.name} | params: {self.num_parameters():,} | "
+              f"scale: {self.configuration.get('scale')}")
+
+    def model_structure_dump(self) -> None:
+        """torchinfo-equivalent: flax tabulate into model_structure.txt
+        (base_interface.py:271-275)."""
+        if not self.logs_dir or self.no_directories:
+            return
+        try:
+            import flax.linen as nn
+            table = nn.tabulate(
+                self.model.module, jax.random.PRNGKey(0),
+                console_kwargs={"width": 120})(*self.model.example_inputs())
+            with open(os.path.join(self.logs_dir, "model_structure.txt"),
+                      "w") as f:
+                f.write(table)
+        except Exception as e:  # tabulate is best-effort diagnostics
+            print(f"model structure dump skipped: {e}")

@@ -143,8 +143,22 @@ class BaseHandler:
         self.tx = build_optimizer(lr, optimizer_type, scheduler,
                                   scheduler_params, grad_clip)
         self.seed = seed
+        # Optional batch pre-transform traced INTO the train step (e.g. the
+        # fused on-device degradation pipeline: hr -> (lr, metadata)).
+        self.input_fn = None
+        self._rejit()
+
+    def _rejit(self):
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def set_input_pipeline(self, fn) -> None:
+        """fn(key, batch) -> batch, run on-device inside the jitted train
+        step — this is how online blind-SR datagen fuses with training
+        (the reference ran it per-image in DataLoader workers,
+        SURVEY.md §3.3)."""
+        self.input_fn = fn
+        self._rejit()
 
     # -- subclass surface --------------------------------------------------
 
@@ -189,7 +203,9 @@ class BaseHandler:
     # -- train / eval ------------------------------------------------------
 
     def _train_step_impl(self, state: TrainState, batch):
-        rng, sub = jax.random.split(state.rng)
+        rng, sub, dsub = jax.random.split(state.rng, 3)
+        if self.input_fn is not None:
+            batch = self.input_fn(dsub, batch)
 
         def loss_fn(params):
             sr, aux, new_extra = self.apply(params, batch, train=True,

@@ -1,0 +1,250 @@
+"""Training orchestration.
+
+Mirror of rumpy/shared_framework/training/base_handler.py:28-436 (epoch
+loop, loss aggregation, eval-metric hub, summary.csv + loss_plots.pdf,
+early stopping, per-epoch checkpointing, periodic cleanup, resume with
+branching) rebuilt around functional state:
+
+  * the hot path is ONE jitted SPMD step per batch — when online
+    degradations are configured, the fused degradation pipeline is traced
+    into the same step (handler.set_input_pipeline), so blind-SR datagen
+    runs on the TPU between the HR feed and the forward pass;
+  * batches are sharded over the mesh's ``data`` axis; params replicated;
+    XLA inserts the gradient all-reduce (parallel/mesh.py);
+  * the data-vs-compute efficiency line is kept (the reference prints it
+    per batch, base_handler.py:234-240) — it is the north-star's
+    input-boundness metric.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from rumpy_tpu.config.constants import metric_best_val
+from rumpy_tpu.data.loader import sisr_data_setup
+from rumpy_tpu.interface import SISRInterface
+from rumpy_tpu.parallel import mesh as mesh_mod
+from rumpy_tpu.utils import stats as stats_mod
+from rumpy_tpu.utils.checkpoint import available_epochs, checkpoint_path
+from rumpy_tpu.utils.metrics import Metrics
+
+
+class TrainingHandler:
+    def __init__(self, config, use_mesh: bool = True, verbose: bool = True):
+        self.cfg = config
+        self.verbose = verbose
+        data_cfg = config.get("data") or {}
+        model_cfg = config.get("model") or {}
+        train_cfg = config.get("training") or {}
+
+        self.seed = int(train_cfg.get("seed") or 0)
+        self.num_epochs = int(train_cfg.get("num_epochs") or 1)
+        self.metrics_list = list(train_cfg.get("metrics")
+                                 or ["PSNR", "SSIM"])
+        self.early_stopping_patience = train_cfg.get("early_stopping_patience")
+        self.best_metric = train_cfg.get("best_metric") or "val-PSNR"
+        self.aggressive_cleanup = bool(train_cfg.get("aggressive_cleanup"))
+
+        scale = int(data_cfg.get("scale") or 4)
+        load_epoch = train_cfg.get("continue_from_epoch")
+
+        # model interface
+        self.model = SISRInterface(
+            model_loc=config.get("experiment_save_loc"),
+            experiment=config.get("experiment") or "experiment",
+            mode="train",
+            new_params=model_cfg,
+            load_epoch=load_epoch,
+            scale=scale,
+            no_directories=bool(config.get("no_directories")),
+            new_params_override_load=train_cfg.get("new_params_override_load"),
+            seed=self.seed)
+
+        # branching: resuming from a non-final epoch forks a branch dir
+        if load_epoch is not None and self.model.model_save_dir:
+            eps = available_epochs(self.model.model_save_dir)
+            if eps and self.model.model_epoch - 1 < max(eps):
+                self.model.branch(self.model.model_epoch - 1)
+                stats_mod.truncate_statistics(self.model.logs_dir,
+                                              self.model.model_epoch - 1)
+
+        # mesh + sharding: data axis sized to divide the global batch
+        if use_mesh:
+            import math
+            bs = int(train_cfg.get("batch_size") or 8)
+            n = math.gcd(bs, len(jax.devices()))
+            self.mesh = mesh_mod.get_mesh(n_data=max(1, n))
+        else:
+            self.mesh = None
+
+        # data
+        handler = self.model.model
+        self.train_data, self.eval_data = sisr_data_setup(
+            data_cfg, scale=scale,
+            batch_size=int(train_cfg.get("batch_size") or 8),
+            dataloader_threads=int(data_cfg.get("dataloader_threads") or 4),
+            input=getattr(handler, "im_input", "unmodified"),
+            colorspace=handler.colorspace,
+            crop=data_cfg.get("crop"),
+            augmentations=bool(data_cfg.get("augmentations")),
+            metadata=data_cfg.get("metadata"),
+            seed=self.seed)
+
+        # online on-device degradations
+        self.online_pipeline = None
+        online_cfg = data_cfg.get("online_degradations")
+        if online_cfg:
+            from rumpy_tpu.degradations.pipeline import ImagePipeline
+            pipe = ImagePipeline(online_cfg["pipeline"],
+                                 deg_configs=online_cfg.get("deg_configs"),
+                                 scale=scale)
+            self.online_pipeline = pipe
+            requested = data_cfg.get("metadata")
+
+            def input_fn(key, batch):
+                lr, meta = pipe.degrade_batch(key, batch["hr"])
+                mat, keys = pipe.metadata_matrix(meta)
+                new_batch = dict(batch)
+                new_batch["lr"] = lr
+                if requested:
+                    idx = [i for r in requested for i, k in enumerate(keys)
+                           if k == r or k.endswith(f"-{r}")]
+                    if idx:
+                        new_batch["metadata"] = mat[:, np.asarray(idx)]
+                else:
+                    new_batch["metadata"] = mat
+                return new_batch
+
+            handler.set_input_pipeline(input_fn)
+
+        self.metric_hub = Metrics(self.metrics_list)
+        self.stats: Dict[int, Dict[str, float]] = {}
+
+    # ------------------------------------------------------------------
+
+    def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype != object
+                  and v.size > 0}
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            shardable = {k: v for k, v in arrays.items()
+                         if v.shape[0] % n == 0}
+            rest = {k: v for k, v in arrays.items() if k not in shardable}
+            out = mesh_mod.shard_batch(self.mesh, shardable)
+            out.update(rest)
+            return out
+        return arrays
+
+    def train(self, epoch: int) -> Dict[str, float]:
+        agg: Dict[str, List[float]] = defaultdict(list)
+        data_t = compute_t = 0.0
+        t0 = time.perf_counter()
+        for batch in self.train_data:
+            t1 = time.perf_counter()
+            data_t += t1 - t0
+            device_batch = self._put(batch)
+            losses = self.model.train_batch(
+                lr=device_batch.get("lr"), hr=device_batch.get("hr"),
+                metadata=device_batch.get("metadata"))
+            for k, v in losses.items():
+                agg[k].append(v)
+            t0 = time.perf_counter()
+            compute_t += t0 - t1
+        out = {k: float(np.mean(v)) for k, v in agg.items()}
+        total = data_t + compute_t
+        out["compute_efficiency"] = (compute_t / total * 100.0) if total else 0.0
+        if self.verbose:
+            print(f"epoch {epoch}: train-loss "
+                  f"{out.get('train-loss', float('nan')):.5f} | "
+                  f"compute efficiency {out['compute_efficiency']:.1f}%")
+        return out
+
+    def eval(self, epoch: int) -> Dict[str, float]:
+        if self.eval_data is None:
+            return {}
+        agg: Dict[str, List[float]] = defaultdict(list)
+        for batch in self.eval_data:
+            lrs = batch["lr"] if isinstance(batch["lr"], list) else [batch["lr"][i] for i in range(len(batch["lr"]))]
+            hrs = batch["hr"] if isinstance(batch["hr"], list) else [batch["hr"][i] for i in range(len(batch["hr"]))]
+            metas = batch.get("metadata")
+            for i, (lr, hr) in enumerate(zip(lrs, hrs)):
+                meta = None
+                if metas is not None and np.size(metas):
+                    m = metas[i] if not isinstance(metas, list) else metas[i]
+                    meta = np.asarray(m)[None]
+                rgb, ycc, _, _ = self.model.net_run_and_process(
+                    lr[None] if lr.ndim == 3 else lr, metadata=meta)
+                hr_y = np.asarray(hr)
+                if hr_y.shape[-1] == 3:
+                    from rumpy_tpu.utils.color import rgb_to_ycbcr
+                    hr_y = np.asarray(rgb_to_ycbcr(hr_y, y_only=True,
+                                                   im_type="jpg"))
+                    sr_y = np.asarray(ycc[0][..., :1])
+                else:
+                    sr_y = np.asarray(ycc[0][..., :1])
+                res = self.metric_hub.run_metrics(
+                    np.clip(sr_y, 0, 1)[None], hr_y[None], max_value=1.0)
+                for k, v in res.items():
+                    agg[f"val-{k}"].extend(v)
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
+    # ------------------------------------------------------------------
+
+    def _cleanup_checkpoints(self, best_epoch: int, last_epoch: int) -> None:
+        """Keep best-1 / best / best+1 / last (helper_functions.py:383-400)."""
+        if not self.aggressive_cleanup or not self.model.model_save_dir:
+            return
+        keep = {best_epoch - 1, best_epoch, best_epoch + 1, last_epoch}
+        for e in available_epochs(self.model.model_save_dir):
+            if e not in keep:
+                os.remove(checkpoint_path(self.model.model_save_dir, e))
+
+    def run_experiment(self) -> Dict[int, Dict[str, float]]:
+        self.model.save_metadata()
+        self.model.model_structure_dump()
+        start = self.model.model_epoch
+        direction = metric_best_val.get(self.best_metric, "max")
+        best_val = -np.inf if direction == "max" else np.inf
+        best_epoch = start
+        stale = 0
+        for epoch in range(start, self.num_epochs):
+            self.model.set_epoch(epoch)
+            row: Dict[str, float] = {"epoch": epoch}
+            row.update(self.train(epoch))
+            row.update(self.eval(epoch))
+            self.stats[epoch] = row
+            if self.model.logs_dir and not self.model.no_directories:
+                stats_mod.save_statistics(self.model.logs_dir, row)
+                try:
+                    stats_mod.plot_stats(self.model.logs_dir)
+                except Exception:
+                    pass
+            if self.model.model_save_dir and not self.model.no_directories:
+                self.model.save()
+
+            # early stopping on the tracked metric plateau
+            track = row.get(self.best_metric)
+            if track is not None:
+                improved = (track > best_val if direction == "max"
+                            else track < best_val)
+                if improved:
+                    best_val, best_epoch, stale = track, epoch, 0
+                else:
+                    stale += 1
+                if (self.early_stopping_patience
+                        and stale >= self.early_stopping_patience):
+                    if self.verbose:
+                        print(f"early stopping at epoch {epoch} "
+                              f"(no {self.best_metric} improvement for "
+                              f"{stale} epochs)")
+                    self._cleanup_checkpoints(best_epoch, epoch)
+                    break
+            self._cleanup_checkpoints(best_epoch, epoch)
+        return self.stats

@@ -1,0 +1,69 @@
+"""Image saving & comparison collages.
+
+Mirror of rumpy/sr_tools/visualization.py: `safe_image_save` clamps,
+converts Y/YCbCr to RGB and writes uint8 PNGs; `interpret_sisr_images`
+writes a per-image comparison collage (PDF) with metric captions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from rumpy_tpu.utils.color import ycbcr_to_rgb
+
+
+def to_uint8_rgb(img: np.ndarray, colorspace: str = "rgb") -> np.ndarray:
+    """(H, W, C) float [0,1] -> uint8 RGB. ycbcr input is converted
+    (visualization.py:31-62 semantics: clip then scale)."""
+    img = np.asarray(img)
+    if img.ndim == 4:
+        img = img[0]
+    if colorspace == "ycbcr" and img.shape[-1] == 3:
+        img = np.asarray(ycbcr_to_rgb(img, im_type="jpg"))
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    return (np.clip(img, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+
+
+def safe_image_save(img: np.ndarray, out_dir: str, name: str,
+                    colorspace: str = "rgb") -> str:
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    u8 = to_uint8_rgb(img, colorspace)
+    path = os.path.join(out_dir, name if name.lower().endswith(".png")
+                        else name + ".png")
+    Image.fromarray(u8).save(path)
+    return path
+
+
+def interpret_sisr_images(images: Dict[str, np.ndarray], out_path: str,
+                          captions: Optional[Dict[str, str]] = None,
+                          ncols: int = 3) -> str:
+    """Comparison collage: one panel per (model) image with caption
+    (visualization.py:79-194)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(images)
+    ncols = min(ncols, n)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(4 * ncols, 4 * nrows), squeeze=False)
+    for i, (name, img) in enumerate(images.items()):
+        ax = axes[i // ncols][i % ncols]
+        ax.imshow(to_uint8_rgb(img))
+        title = name
+        if captions and name in captions:
+            title += f"\n{captions[name]}"
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+    for j in range(n, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,165 @@
+"""End-to-end CLI tests via click's CliRunner — the reference's E2E style
+(automated_testing/sisr_tests/test_training_routine.py): real tiny dataset,
+real CLI invocation, exit code 0, expected artifacts on disk."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from click.testing import CliRunner
+from PIL import Image
+
+from rumpy_tpu.config.loader import dump_toml
+
+
+@pytest.fixture
+def dataset_dirs(tmp_path, rng):
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    os.makedirs(hr_dir)
+    os.makedirs(lr_dir)
+    from rumpy_tpu.ops import resize
+    for i in range(3):
+        hr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f"im{i}.png")
+        lr = np.asarray(resize.pil_resize(hr, (16, 16)))
+        Image.fromarray(lr).save(lr_dir / f"im{i}.png")
+    return str(lr_dir), str(hr_dir)
+
+
+def test_train_sisr_cli(tmp_path, dataset_dirs):
+    from rumpy_tpu.cli.train_sisr import main
+    lr_dir, hr_dir = dataset_dirs
+    cfg = {
+        "experiment": "cli_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"task_type": "sisr", "scale": 2, "crop": 8,
+                 "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": lr_dir,
+                                              "hr_dir": hr_dir}},
+                 "eval_sets": {"data_1": {"lr_dir": lr_dir,
+                                          "hr_dir": hr_dir}}},
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 1, "batch_size": 1, "seed": 0},
+    }
+    cfg_path = tmp_path / "cfg.toml"
+    dump_toml(cfg, str(cfg_path))
+    result = CliRunner().invoke(main, ["--parameters", str(cfg_path)])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    exp = tmp_path / "Results" / "cli_exp"
+    assert (exp / "saved_models" / "train_model_0").is_file()
+    assert (exp / "config.toml").is_file()
+    assert (exp / "result_outputs" / "summary.csv").is_file()
+
+
+def test_eval_sisr_cli(tmp_path, dataset_dirs):
+    from rumpy_tpu.cli.train_sisr import main as train_main
+    from rumpy_tpu.cli.eval_sisr import main as eval_main
+    lr_dir, hr_dir = dataset_dirs
+    train_cfg = {
+        "experiment": "eval_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"scale": 2, "crop": 8, "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": lr_dir,
+                                              "hr_dir": hr_dir}}},
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 1, "batch_size": 1},
+    }
+    p = tmp_path / "train.toml"
+    dump_toml(train_cfg, str(p))
+    r = CliRunner().invoke(train_main, ["--parameters", str(p)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+
+    eval_cfg = {
+        "model_loc": str(tmp_path / "Results"),
+        "out_loc": str(tmp_path / "eval_out"),
+        "scale": 2,
+        "metrics": ["PSNR", "SSIM"],
+        "save_im": True,
+        "time_models": True,
+        "data": {"lr_dir": lr_dir, "hr_dir": hr_dir},
+        "models": [{"experiment": "eval_exp", "epoch": "last",
+                    "label": "edsr_t"}],
+    }
+    ep = tmp_path / "eval.toml"
+    dump_toml(eval_cfg, str(ep))
+    r = CliRunner().invoke(eval_main, ["--config", str(ep)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+    ind = pd.read_csv(tmp_path / "eval_out" / "individual_metrics.csv",
+                      header=[0, 1], index_col=0)
+    assert ("bicubic", "PSNR") in ind.columns
+    assert ("edsr_t", "PSNR") in ind.columns
+    assert ("edsr_t", "runtime") in ind.columns
+    assert len(ind) == 3
+    assert (tmp_path / "eval_out" / "average_metrics.csv").is_file()
+    assert (tmp_path / "eval_out" / "edsr_t" / "im0.png").is_file()
+    # bicubic on noise images loses all high-freq info; sanity floor only
+    assert ind[("bicubic", "PSNR")].mean() > 10
+
+
+def test_image_manipulate_cli(tmp_path, dataset_dirs):
+    from rumpy_tpu.cli.image_manipulate import main
+    lr_dir, hr_dir = dataset_dirs
+    cfg = {
+        "pipeline": [["realesrganblur", "b"], ["downsample", "d"]],
+        "deg_configs": {"b": {"kernel_range": ["iso"], "kernel_size": 9,
+                              "request_kernel_metadata": True},
+                        "d": {"scale": 2}},
+        "seed": 0,
+        "source_dir": hr_dir,
+        "output_dir": str(tmp_path / "degraded"),
+    }
+    p = tmp_path / "pipe.toml"
+    dump_toml(cfg, str(p))
+    r = CliRunner().invoke(main, ["--pipeline_config", str(p)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+    out = tmp_path / "degraded"
+    assert (out / "im0.png").is_file()
+    assert (out / "degradation_metadata.csv").is_file()
+    assert (out / "degradation_config.toml").is_file()
+
+
+def test_curation_clis(tmp_path, dataset_dirs):
+    from rumpy_tpu.cli.train_sisr import main as train_main
+    from rumpy_tpu.cli.curation import (clean_models, extract_best_model,
+                                        model_report)
+    lr_dir, hr_dir = dataset_dirs
+    cfg = {
+        "experiment": "cur_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"scale": 2, "crop": 8, "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": lr_dir,
+                                              "hr_dir": hr_dir}},
+                 "eval_sets": {"data_1": {"lr_dir": lr_dir,
+                                          "hr_dir": hr_dir}}},
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 6, "batch_size": 1},
+    }
+    p = tmp_path / "t.toml"
+    dump_toml(cfg, str(p))
+    r = CliRunner().invoke(train_main, ["--parameters", str(p)])
+    assert r.exit_code == 0, repr(r.exception)
+
+    results = str(tmp_path / "Results")
+    r = CliRunner().invoke(model_report, ["--results_loc", results])
+    assert r.exit_code == 0 and "cur_exp" in r.output
+
+    r = CliRunner().invoke(extract_best_model,
+                           ["--base_folder",
+                            os.path.join(results, "cur_exp"),
+                            "--output", str(tmp_path / "deploy")])
+    assert r.exit_code == 0
+    assert os.path.isdir(str(tmp_path / "deploy" / "saved_models"))
+
+    r = CliRunner().invoke(clean_models, ["--results_loc", results])
+    assert r.exit_code == 0
+    from rumpy_tpu.utils.checkpoint import available_epochs
+    kept = available_epochs(os.path.join(results, "cur_exp", "saved_models"))
+    assert len(kept) <= 4 and 5 in kept  # last always kept

@@ -1,0 +1,141 @@
+"""End-to-end training tests: dataset -> loader -> trainer -> stats/ckpts,
+including online on-device degradations and resume/branching."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from rumpy_tpu.config.loader import to_none_dict
+from rumpy_tpu.data.datasets import SuperResImages
+from rumpy_tpu.data.loader import DataLoader
+from rumpy_tpu.training.trainer import TrainingHandler
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    os.makedirs(hr_dir)
+    os.makedirs(lr_dir)
+    from rumpy_tpu.ops import resize
+    for i in range(4):
+        hr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f"im{i}.png")
+        lr = np.asarray(resize.pil_resize(hr, (24, 24)))
+        Image.fromarray(lr).save(lr_dir / f"im{i}.png")
+    return str(lr_dir), str(hr_dir)
+
+
+def test_dataset_pairs(tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, scale=2, crop=8,
+                        augmentations=True)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["lr"].shape == (8, 8, 3)
+    assert item["hr"].shape == (16, 16, 3)
+    assert item["lr"].dtype == np.float32
+
+
+def test_dataset_interp_ycbcr(tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, scale=2,
+                        input="interp", colorspace="ycbcr")
+    item = ds[0]
+    assert item["lr"].shape == (48, 48, 1)  # pre-interpolated, Y-only
+    assert item["hr"].shape == (48, 48, 1)
+
+
+def test_loader_batches(tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    ds = SuperResImages(lr_dir=lr_dir, hr_dir=hr_dir, scale=2, crop=8)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                    num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["lr"].shape == (2, 8, 8, 3)
+    assert len(batches[0]["tag"]) == 2
+
+
+def _config(tmp_path, lr_dir, hr_dir, **training_extra):
+    return to_none_dict({
+        "experiment": "test_exp",
+        "experiment_save_loc": str(tmp_path / "results"),
+        "data": {
+            "scale": 2, "crop": 8, "dataloader_threads": 2,
+            "training_sets": {"data_1": {"lr_dir": lr_dir, "hr_dir": hr_dir}},
+            "eval_sets": {"data_1": {"lr_dir": lr_dir, "hr_dir": hr_dir}},
+        },
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 2, "batch_size": 2, "seed": 1,
+                     **training_extra},
+    })
+
+
+def test_full_training_run(tmp_path, tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    handler = TrainingHandler(_config(tmp_path, lr_dir, hr_dir),
+                              verbose=False)
+    stats = handler.run_experiment()
+    assert 0 in stats and 1 in stats
+    assert "train-loss" in stats[0]
+    assert "val-PSNR" in stats[0]
+    exp = tmp_path / "results" / "test_exp"
+    assert (exp / "config.toml").is_file()
+    assert (exp / "saved_models" / "train_model_0").is_file()
+    assert (exp / "saved_models" / "train_model_1").is_file()
+    summary = pd.read_csv(exp / "result_outputs" / "summary.csv")
+    assert len(summary) == 2
+    assert "val-PSNR" in summary.columns
+
+
+def test_resume_branches(tmp_path, tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    TrainingHandler(_config(tmp_path, lr_dir, hr_dir),
+                    verbose=False).run_experiment()
+    cfg = _config(tmp_path, lr_dir, hr_dir, continue_from_epoch=0,
+                  num_epochs=2)
+    cfg["training"]["num_epochs"] = 2
+    h2 = TrainingHandler(cfg, verbose=False)
+    # resuming from epoch 0 (non-final) must fork a branch dir
+    assert "branch_epoch_0" in h2.model.base_folder
+    h2.run_experiment()
+    assert os.path.isfile(os.path.join(h2.model.model_save_dir,
+                                       "train_model_1"))
+
+
+def test_online_degradation_training(tmp_path, tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    cfg = _config(tmp_path, lr_dir, hr_dir)
+    cfg["data"]["training_sets"]["data_1"] = to_none_dict(
+        {"hr_dir": hr_dir, "online_degradations": True})
+    cfg["data"]["online_degradations"] = to_none_dict({
+        "pipeline": [["realesrganblur", "b"], ["downsample", "d"],
+                     ["jpegcompress", "j"]],
+        "deg_configs": {"b": {"kernel_range": ["iso"], "kernel_size": 9,
+                              "request_kernel_metadata": True},
+                        "d": {"scale": 2},
+                        "j": {"quality": 80, "random_compression": True}},
+    })
+    cfg["training"]["num_epochs"] = 1
+    handler = TrainingHandler(cfg, verbose=False)
+    assert handler.online_pipeline is not None
+    stats = handler.run_experiment()
+    assert np.isfinite(stats[0]["train-loss"])
+
+
+def test_early_stopping(tmp_path, tiny_dataset):
+    lr_dir, hr_dir = tiny_dataset
+    cfg = _config(tmp_path, lr_dir, hr_dir,
+                  early_stopping_patience=1)
+    cfg["training"]["num_epochs"] = 50
+    cfg["training"]["lr"] = 0.0  # no learning => immediate plateau
+    cfg["model"]["internal_params"]["lr"] = 0.0
+    handler = TrainingHandler(cfg, verbose=False)
+    stats = handler.run_experiment()
+    assert len(stats) <= 3  # stopped long before 50
