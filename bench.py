@@ -1,0 +1,84 @@
+"""Benchmark: RCAN x4 blind-SR training throughput on one chip.
+
+Measures the north-star metric (BASELINE.json): HR megapixels/sec/chip for
+RCAN x4 training on DIV2K-sized patches, with the FULL blind-SR pipeline —
+on-device degradation (blur + downsample + noise + JPEG) fused into the
+jitted train step — so the number includes datagen, forward, backward and
+the optimizer, everything the reference did per batch (per-image CPU/PIL
+degradation + CUDA training; SURVEY.md §3.1/§3.3).
+
+Baseline constant: the reference publishes no throughput numbers
+(BASELINE.md). 1.1 HR-MP/s is our estimate of RCAN x4 training on a V100
+with the reference's CPU-bound input pipeline (~30 patches/s at 192x192 HR,
+literature-typical; the reference's own pipeline is input-bound below
+that). vs_baseline is measured/estimate — documented, not harvested.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MP_PER_SEC = 1.1  # estimated reference PyTorch-GPU throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rumpy_tpu.degradations.pipeline import ImagePipeline
+    from rumpy_tpu.registry import get_model
+
+    batch = 16
+    lr_patch = 48
+    scale = 4
+    hr_patch = lr_patch * scale  # 192
+
+    handler = get_model("rcan")(scale=scale, n_feats=64, n_resgroups=10,
+                                n_resblocks=20, lr=1e-4, dtype="bf16")
+
+    pipe = ImagePipeline(
+        [["realesrganblur", "b"], ["downsample", "d"],
+         ["realesrgannoise", "n"], ["jpegcompress", "j"]],
+        deg_configs={
+            "b": {"kernel_range": ["iso", "aniso"], "kernel_size": 21,
+                  "request_kernel_metadata": True},
+            "d": {"scale": scale},
+            "n": {"gaussian_noise_sigma_range": (1, 30)},
+            "j": {"quality": 60, "random_compression": True}})
+
+    def input_fn(key, b):
+        lr, _meta = pipe.degrade_batch(key, b["hr"])
+        return {"lr": lr, "hr": b["hr"]}
+
+    handler.set_input_pipeline(input_fn)
+    state = handler.init_state()
+
+    hr = jnp.asarray(np.random.default_rng(0).random(
+        (batch, hr_patch, hr_patch, 3)).astype(np.float32))
+
+    # warmup / compile
+    state, losses = handler._train_step(state, {"hr": hr})
+    jax.block_until_ready(losses["train-loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, losses = handler._train_step(state, {"hr": hr})
+    jax.block_until_ready(losses["train-loss"])
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / elapsed
+    mp_per_sec = steps_per_sec * batch * hr_patch * hr_patch / 1e6
+    print(json.dumps({
+        "metric": "rcan_x4_blind_train_throughput",
+        "value": round(mp_per_sec, 3),
+        "unit": "HR_megapixels/sec/chip",
+        "vs_baseline": round(mp_per_sec / BASELINE_MP_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
