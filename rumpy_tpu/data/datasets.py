@@ -72,6 +72,7 @@ class SuperResImages:
                  blacklist: Optional[Sequence[str]] = None,
                  group_select: Optional[Sequence[int]] = None,
                  crop: Optional[int] = None,
+                 crop_count: int = 1,
                  augmentations: bool = False,
                  online_degradations: bool = False,
                  degradation_pipeline=None,
@@ -80,6 +81,7 @@ class SuperResImages:
         self.input = input
         self.colorspace = colorspace
         self.crop = crop
+        self.crop_count = crop_count
         self.augmentations = augmentations
         self.online_degradations = online_degradations
         self.degradation_pipeline = degradation_pipeline
@@ -210,6 +212,26 @@ class SuperResImages:
 
         lr_f = self._colorspace_convert(lr)
         hr_f = self._colorspace_convert(hr) if hr is not None else None
+
+        if self.crop is not None and self.crop_count > 1:
+            # Multi-crop mode (ClassifierImages / contrastive training,
+            # data_handler.py:762-811): stack crop_count random patches of
+            # the LR image on a leading axis.
+            cs = self.crop
+            crops = []
+            for _ in range(self.crop_count):
+                top = int(self._rng.integers(0, max(1, lr_f.shape[0] - cs + 1)))
+                left = int(self._rng.integers(0, max(1, lr_f.shape[1] - cs + 1)))
+                patch = lr_f[top:top + cs, left:left + cs]
+                if self.augmentations:
+                    patch, = self._augment(patch)
+                crops.append(patch)
+            out["lr"] = np.stack(crops).astype(np.float32)
+            meta = self.metadata_map.get(tag)
+            out["metadata"] = (meta if meta is not None
+                               else np.array([], np.float32))
+            out["metadata_keys"] = self.metadata_keys
+            return out
 
         if self.crop is not None:
             cs = self.crop

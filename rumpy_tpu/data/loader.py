@@ -93,7 +93,8 @@ class DataLoader:
 def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
                     eval_batch_size: int = 1, dataloader_threads: int = 4,
                     input: str = "unmodified", colorspace: str = "rgb",
-                    crop: Optional[int] = None, augmentations: bool = False,
+                    crop: Optional[int] = None, crop_count: int = 1,
+                    augmentations: bool = False,
                     metadata: Optional[Sequence[str]] = None, seed: int = 0):
     """Build train/val loaders from the config's
     [data.training_sets.data_N] / [data.eval_sets.data_N] tables
@@ -112,6 +113,7 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
             ds_cfg.setdefault("colorspace", colorspace)
             if is_train:
                 ds_cfg.setdefault("crop", crop)
+                ds_cfg.setdefault("crop_count", crop_count)
                 ds_cfg.setdefault("augmentations", augmentations)
             if metadata is not None:
                 ds_cfg.setdefault("metadata", metadata)

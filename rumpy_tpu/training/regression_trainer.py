@@ -1,0 +1,177 @@
+"""Regression (degradation-predictor) training orchestration.
+
+Mirror of rumpy/regression/training/training_handler.py:20-238: trains
+contrastive encoders (MoCo/SupMoCo/WeakCon/SupCon) or direct regressors on
+degraded LR patches, with per-epoch contrastive evaluation (embedding dump
++ clustering scores + t-SNE plots via ContrastiveEval) and optional warm
+start from a previous experiment's checkpoint.
+
+Task-specific data flow: the dataset yields `crop_count` patches per image
+(query + positives); degradation-class labels / weak-label vectors are
+computed on the fly from the metadata CSV with the vectorized decision
+tree (models/contrastive_labelling.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Any, Dict, List
+
+import numpy as np
+
+from rumpy_tpu.models import contrastive_labelling as cl
+from rumpy_tpu.training.trainer import TrainingHandler
+from rumpy_tpu.utils import stats as stats_mod
+
+
+class RegressionTrainingHandler(TrainingHandler):
+    def __init__(self, config, **kwargs):
+        data_cfg = config.get("data") or {}
+        model_cfg = config.get("model") or {}
+        internal = dict(model_cfg.get("internal_params") or {})
+        self._labelling_strategy = (internal.pop("labelling_strategy", None)
+                                    or "default")
+        self._selected_metadata = internal.pop("selected_metadata", None) or "all"
+        self._warm_start = (config.get("training") or {}).get("warm_start")
+        # positives_per_class drives the dataset's crop_count
+        self._positives = int(internal.get("positives_per_class")
+                              or internal.get("positives") or 1)
+        data_cfg["crop_count"] = self._positives + 1
+        model_cfg["internal_params"] = internal
+        super().__init__(config, **kwargs)
+
+        handler = self.model.model
+        # class labelling setup from the training dataset's metadata keys
+        self._m_map: Dict[str, int] = {}
+        self._valid: List[str] = []
+        self._mags: List[int] = []
+        self._num_classes = 0
+        ds = self._first_dataset()
+        if ds is not None and ds.metadata_keys:
+            std_keys = cl.register_metadata(ds.metadata_keys)
+            self._m_map = {k: i for i, k in enumerate(std_keys)}
+            self._valid, self._mags, self._num_classes = cl.partition_metadata(
+                self._m_map, self._selected_metadata,
+                self._labelling_strategy)
+        if hasattr(handler, "register_classes") and self._num_classes:
+            handler.register_classes(self._num_classes)
+            handler.num_classes = self._num_classes
+            # queue label sentinel must match the class count
+            import jax.numpy as jnp
+            if "queue_labels" in self.model.state.extra:
+                self.model.state = self.model.state.replace(
+                    extra={**self.model.state.extra,
+                           "queue_labels": jnp.full(
+                               (handler.K,), self._num_classes, jnp.int32)})
+        if hasattr(handler, "register_vector") and self._valid:
+            vsize = cl.degradation_vector_size(self._valid)
+            handler.register_vector(vsize)
+            import jax.numpy as jnp
+            if "queue_vectors" in self.model.state.extra and \
+                    self.model.state.extra["queue_vectors"].shape[1] != vsize:
+                self.model.state = self.model.state.replace(
+                    extra={**self.model.state.extra,
+                           "queue_vectors": jnp.zeros((handler.K, vsize))})
+
+        if self._warm_start:
+            self._do_warm_start(self._warm_start)
+
+    def _first_dataset(self):
+        if self.train_data is None:
+            return None
+        ds = self.train_data.dataset
+        return ds.datasets[0] if hasattr(ds, "datasets") else ds
+
+    def _do_warm_start(self, spec):
+        """Load encoder weights from a previous experiment
+        (training_handler.py:92-118)."""
+        from rumpy_tpu.utils import checkpoint as ckpt
+        path_dir = spec.get("model_save_dir") if isinstance(spec, dict) else spec
+        state, epoch = self.model.model.load_model(
+            path_dir, (spec.get("epoch", "last")
+                       if isinstance(spec, dict) else "last"),
+            skip_optimizer_load=True)
+        self.model.state = state
+        print(f"warm-started from {path_dir} (epoch {epoch})")
+
+    # ------------------------------------------------------------------
+
+    def _assemble_contrastive_batch(self, batch) -> Dict[str, Any]:
+        """crops (N, P+1, h, w, C) -> query/key views + labels/vectors."""
+        crops = batch["lr"]
+        n, pc = crops.shape[0], crops.shape[1]
+        out: Dict[str, Any] = {
+            "image_query": crops[:, 0],
+            "image_key": crops[:, 1:].reshape((n * (pc - 1),)
+                                              + crops.shape[2:]),
+        }
+        metas = batch.get("metadata")
+        if metas is not None and np.size(metas) and self._m_map:
+            metas = np.asarray(metas, np.float32)
+            if self._num_classes:
+                out["labels"] = np.asarray(cl.assign_classes(
+                    metas, self._m_map, self._valid, self._mags,
+                    self._num_classes, self._labelling_strategy))
+            if self._valid:
+                out["vector"] = np.asarray(cl.degradation_vectors(
+                    metas, self._m_map, self._valid))
+        if metas is not None and np.size(metas):
+            out["metadata"] = np.asarray(metas, np.float32)
+        return out
+
+    def train(self, epoch: int) -> Dict[str, float]:
+        import time
+        handler = self.model.model
+        agg: Dict[str, List[float]] = defaultdict(list)
+        data_t = compute_t = 0.0
+        t0 = time.perf_counter()
+        for batch in self.train_data:
+            t1 = time.perf_counter()
+            data_t += t1 - t0
+            if getattr(handler, "task", None) == "regression" and \
+                    batch["lr"].ndim == 5:
+                db = self._assemble_contrastive_batch(batch)
+            else:
+                db = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray) and v.dtype != object}
+            db = self._put(db)
+            self.model.state, losses = handler.train_batch(self.model.state,
+                                                           db)
+            for k, v in losses.items():
+                agg[k].append(float(v))
+            t0 = time.perf_counter()
+            compute_t += t0 - t1
+        out = {k: float(np.mean(v)) for k, v in agg.items()}
+        total = data_t + compute_t
+        out["compute_efficiency"] = (compute_t / total * 100.0) if total else 0.0
+        if self.verbose:
+            print(f"epoch {epoch}: train-loss "
+                  f"{out.get('train-loss', float('nan')):.5f} | "
+                  f"compute efficiency {out['compute_efficiency']:.1f}%")
+        return out
+
+    def eval(self, epoch: int) -> Dict[str, float]:
+        """Contrastive eval: embeddings over the eval set -> clustering
+        scores (+ scatter plots when plotting enabled)."""
+        if self.eval_data is None:
+            return {}
+        from rumpy_tpu.evaluation.contrastive_eval import ContrastiveEval
+        ce = ContrastiveEval(self.model.model, self.model.state,
+                             m_map=self._m_map, valid=self._valid,
+                             mags=self._mags,
+                             num_classes=self._num_classes,
+                             labelling_strategy=self._labelling_strategy)
+        embeddings, labels = ce.generate_data_encoding(self.eval_data)
+        scores = ce.clustering_scores(embeddings, labels)
+        if self.model.logs_dir and not self.model.no_directories:
+            ce.dump_embeddings(embeddings, labels,
+                               os.path.join(self.model.logs_dir,
+                                            f"encodings_epoch_{epoch}"))
+            try:
+                ce.scatter_plot(embeddings, labels,
+                                os.path.join(self.model.logs_dir,
+                                             f"tsne_epoch_{epoch}.pdf"))
+            except Exception:
+                pass
+        return {f"val-{k}": v for k, v in scores.items()}

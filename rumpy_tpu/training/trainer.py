@@ -92,6 +92,7 @@ class TrainingHandler:
             input=getattr(handler, "im_input", "unmodified"),
             colorspace=handler.colorspace,
             crop=data_cfg.get("crop"),
+            crop_count=int(data_cfg.get("crop_count") or 1),
             augmentations=bool(data_cfg.get("augmentations")),
             metadata=data_cfg.get("metadata"),
             seed=self.seed)

@@ -1,0 +1,96 @@
+"""End-to-end regression (degradation-predictor) training: degraded
+dataset with metadata CSV -> SupMoCo/WeakCon training via the regression
+trainer + train_sisr CLI routing (task_type='regression')."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from rumpy_tpu.config.loader import dump_toml, to_none_dict
+
+
+@pytest.fixture(scope="module")
+def degraded_dataset(tmp_path_factory):
+    """Real blur+noise+compress degraded images + metadata CSV."""
+    tmp = tmp_path_factory.mktemp("regdata")
+    hr_dir = tmp / "hr"
+    os.makedirs(hr_dir)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)
+                        ).save(hr_dir / f"im{i}.png")
+    from rumpy_tpu.degradations.pipeline import pipeline_prep_and_run
+    out = str(tmp / "lr")
+    pipeline_prep_and_run({
+        "pipeline": [["realesrganblur", "b"], ["downsample", "d"],
+                     ["realesrgannoise", "n"], ["randomcompress", "c"]],
+        "deg_configs": {
+            "b": {"kernel_range": ["iso", "aniso"], "kernel_size": 9,
+                  "request_kernel_metadata": True},
+            "d": {"scale": 2},
+            "n": {"gaussian_noise_sigma_range": (1, 30),
+                  "gray_noise_probability": 0.4},
+            "c": {"jm_params": {"random_compression": True},
+                  "jpeg_params": {"random_compression": True}}},
+        "seed": 1, "source_dir": str(hr_dir), "output_dir": out})
+    return out
+
+
+def _config(tmp_path, lr_dir, model_name, internal):
+    return to_none_dict({
+        "experiment": f"{model_name}_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"task_type": "regression", "scale": 2, "crop": 16,
+                 "dataloader_threads": 1,
+                 "training_sets": {"data_1": {
+                     "lr_dir": lr_dir,
+                     "metadata_file": os.path.join(
+                         lr_dir, "degradation_metadata.csv")}},
+                 "eval_sets": {"data_1": {
+                     "lr_dir": lr_dir, "crop": 16,
+                     "metadata_file": os.path.join(
+                         lr_dir, "degradation_metadata.csv")}}},
+        "model": {"name": model_name, "internal_params": internal},
+        "training": {"num_epochs": 1, "batch_size": 2, "seed": 0},
+    })
+
+
+def test_supmoco_regression_training(tmp_path, degraded_dataset):
+    from rumpy_tpu.training.regression_trainer import \
+        RegressionTrainingHandler
+    cfg = _config(tmp_path, degraded_dataset, "supmoco",
+                  {"K": 8, "positives_per_class": 2, "dim": 64})
+    h = RegressionTrainingHandler(cfg, verbose=False)
+    assert h._num_classes > 0
+    stats = h.run_experiment()
+    assert np.isfinite(stats[0]["train-loss"])
+    exp = tmp_path / "Results" / "supmoco_exp"
+    assert (exp / "saved_models" / "train_model_0").is_file()
+    # embedding dumps written by contrastive eval
+    enc = exp / "result_outputs" / "encodings_epoch_0.npz"
+    assert enc.is_file()
+    data = np.load(enc)
+    assert data["embeddings"].shape[1] == 256
+
+
+def test_weakcon_regression_training(tmp_path, degraded_dataset):
+    from rumpy_tpu.training.regression_trainer import \
+        RegressionTrainingHandler
+    cfg = _config(tmp_path, degraded_dataset, "weakcon",
+                  {"K": 8, "positives_per_class": 1, "dim": 64})
+    h = RegressionTrainingHandler(cfg, verbose=False)
+    stats = h.run_experiment()
+    assert np.isfinite(stats[0]["train-loss"])
+
+
+def test_cli_routes_regression(tmp_path, degraded_dataset):
+    from click.testing import CliRunner
+    from rumpy_tpu.cli.train_sisr import main
+    cfg = _config(tmp_path, degraded_dataset, "moco", {"K": 8, "dim": 32})
+    path = tmp_path / "cfg.toml"
+    dump_toml(cfg, str(path))
+    r = CliRunner().invoke(main, ["--parameters", str(path)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
