@@ -218,14 +218,22 @@ class SuperResImages:
             # data_handler.py:762-811): stack crop_count random patches of
             # the LR image on a leading axis.
             cs = self.crop
+            eff_scale = 1 if self.input == "interp" else self.scale
             crops = []
-            for _ in range(self.crop_count):
+            for ci in range(self.crop_count):
                 top = int(self._rng.integers(0, max(1, lr_f.shape[0] - cs + 1)))
                 left = int(self._rng.integers(0, max(1, lr_f.shape[1] - cs + 1)))
                 patch = lr_f[top:top + cs, left:left + cs]
                 if self.augmentations:
                     patch, = self._augment(patch)
                 crops.append(patch)
+                if ci == 0 and hr_f is not None:
+                    # HR aligned with the first (query) crop — joint
+                    # contrastive+SR training scores SR on that crop.
+                    hs = cs * eff_scale
+                    out["hr"] = hr_f[top * eff_scale:top * eff_scale + hs,
+                                     left * eff_scale:left * eff_scale + hs
+                                     ].astype(np.float32)
             out["lr"] = np.stack(crops).astype(np.float32)
             meta = self.metadata_map.get(tag)
             out["metadata"] = (meta if meta is not None
