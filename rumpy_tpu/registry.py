@@ -25,6 +25,10 @@ _MODEL_MODULES = [
     "rumpy_tpu.models.gan_models",
     "rumpy_tpu.models.blind_sr",
     "rumpy_tpu.models.contrastive",
+    "rumpy_tpu.models.dan",
+    "rumpy_tpu.models.ikc",
+    "rumpy_tpu.models.han_elan",
+    "rumpy_tpu.models.san",
     "rumpy_tpu.models.swinir",
 ]
 _TOOL_MODULES = [
