@@ -1,0 +1,431 @@
+"""GAN SR family: ESRGAN / BSRGAN / Real-ESRGAN (+ Q variant).
+
+Reference: rumpy/SISR/models/non_blind_gan_models/. The torch version
+mutates three optimizers in sequence (pre-train / generator / discriminator
+— __init__.py:35-139); here the whole GAN step is ONE jitted program:
+generator and discriminator params live in a single params dict with
+separate optax transforms, and both updates are computed from one trace.
+
+Phases follow the reference: `pretrain_epochs` of pure L1 on the
+generator, then the adversarial phase (pixel L1 * lambda_pixel +
+adversarial * lambda_adv [+ VGG-perceptual * lambda_vgg, gated on
+pretrained VGG weights which this image does not ship — weight 0 when
+absent, documented]). 'esrgan' uses relativistic-average BCE logits
+(handlers.py:17-113); 'bsrgan'/'realesrgan' use the LSGAN-style MSE of
+BaseBSRGANModel. Real-ESRGAN's discriminator is the spectral-norm U-Net.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from rumpy_tpu.models.attention_manipulators import ParaCALayer
+from rumpy_tpu.models.base import (BaseHandler, TrainState, build_optimizer)
+from rumpy_tpu.models.common import pixel_unshuffle
+from rumpy_tpu.registry import register_model
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+class ResidualDenseBlock(nn.Module):
+    nf: int = 64
+    gc: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        conv = lambda c: nn.Conv(c, (3, 3), dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        x1 = lrelu(conv(self.gc)(x))
+        x2 = lrelu(conv(self.gc)(jnp.concatenate([x, x1], -1)))
+        x3 = lrelu(conv(self.gc)(jnp.concatenate([x, x1, x2], -1)))
+        x4 = lrelu(conv(self.gc)(jnp.concatenate([x, x1, x2, x3], -1)))
+        x5 = conv(self.nf)(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x + 0.2 * x5
+
+
+class RRDB(nn.Module):
+    nf: int = 64
+    gc: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ResidualDenseBlock(self.nf, self.gc, dtype=self.dtype)(x)
+        h = ResidualDenseBlock(self.nf, self.gc, dtype=self.dtype)(h)
+        h = ResidualDenseBlock(self.nf, self.gc, dtype=self.dtype)(h)
+        return x + 0.2 * h
+
+
+def _upsample_nearest(x, factor=2):
+    n, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+    return x
+
+
+class RRDBNet(nn.Module):
+    """ESRGAN / Real-ESRGAN generator (generators.py:122+). Scales below 4
+    use pixel-unshuffle on the input (Real-ESRGAN convention)."""
+    scale: int = 4
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    num_metadata: int = 0  # >0 => ParaCALayer meta-injection per RRDB
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, metadata=None):
+        conv = lambda c: nn.Conv(c, (3, 3), dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        if self.scale == 2:
+            x = pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            x = pixel_unshuffle(x, 4)
+        fea = conv(self.nf)(x)
+        trunk = fea
+        for _ in range(self.nb):
+            trunk = RRDB(self.nf, self.gc, dtype=self.dtype)(trunk)
+            if self.num_metadata > 0 and metadata is not None:
+                trunk = ParaCALayer(self.nf, self.num_metadata,
+                                    nonlinearity=True,
+                                    dtype=self.dtype)(trunk, metadata)
+        trunk = conv(self.nf)(trunk)
+        fea = fea + trunk
+        fea = lrelu(conv(self.nf)(_upsample_nearest(fea)))
+        fea = lrelu(conv(self.nf)(_upsample_nearest(fea)))
+        fea = lrelu(conv(self.nf)(fea))
+        return conv(self.out_nc)(fea)
+
+
+QRRDBNet = RRDBNet  # meta-injection engaged via num_metadata > 0
+
+
+# ---------------------------------------------------------------------------
+# Discriminators
+# ---------------------------------------------------------------------------
+
+class VGGStyleDiscriminator128(nn.Module):
+    """Strided-conv VGG-style discriminator for 128x128 crops
+    (discriminators.py:6-69)."""
+    nf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        feats = [self.nf, self.nf, self.nf * 2, self.nf * 2, self.nf * 4,
+                 self.nf * 4, self.nf * 8, self.nf * 8, self.nf * 8,
+                 self.nf * 8]
+        for i, f in enumerate(feats):
+            stride = 2 if i % 2 == 1 else 1
+            x = nn.Conv(f, (4, 4) if stride == 2 else (3, 3),
+                        strides=(stride, stride), use_bias=(i == 0),
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            if i > 0:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x)
+            x = lrelu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = lrelu(nn.Dense(100, dtype=self.dtype,
+                           param_dtype=jnp.float32)(x))
+        return nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class UNetDiscriminatorSN(nn.Module):
+    """Real-ESRGAN spectral-norm U-Net discriminator
+    (discriminators.py:124+)."""
+    nf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+
+        def sn_conv(c, k, s):
+            return nn.SpectralNorm(
+                nn.Conv(c, (k, k), strides=(s, s), dtype=self.dtype,
+                        param_dtype=jnp.float32))
+
+        x0 = lrelu(nn.Conv(self.nf, (3, 3), dtype=self.dtype,
+                           param_dtype=jnp.float32)(x))
+        x1 = lrelu(sn_conv(self.nf * 2, 4, 2)(x0, update_stats=train))
+        x2 = lrelu(sn_conv(self.nf * 4, 4, 2)(x1, update_stats=train))
+        x3 = lrelu(sn_conv(self.nf * 8, 4, 2)(x2, update_stats=train))
+        # upsample path with skip connections
+        u3 = _upsample_nearest(x3)
+        u3 = lrelu(sn_conv(self.nf * 4, 3, 1)(u3, update_stats=train))
+        u3 = u3 + x2
+        u2 = _upsample_nearest(u3)
+        u2 = lrelu(sn_conv(self.nf * 2, 3, 1)(u2, update_stats=train))
+        u2 = u2 + x1
+        u1 = _upsample_nearest(u2)
+        u1 = lrelu(sn_conv(self.nf, 3, 1)(u1, update_stats=train))
+        u1 = u1 + x0
+        out = lrelu(sn_conv(self.nf, 3, 1)(u1, update_stats=train))
+        out = lrelu(sn_conv(self.nf, 3, 1)(out, update_stats=train))
+        return nn.Conv(1, (3, 3), dtype=self.dtype,
+                       param_dtype=jnp.float32)(out)
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+class BaseGANHandler(BaseHandler):
+    loss_type = "l1"
+    colorspace = "rgb"
+    im_input = "unmodified"
+    gan_mode = "lsgan"  # or 'relativistic'
+    discriminator_type = "vgg128"
+
+    def __init__(self, pretrain_epochs=0, lambda_adv=5e-3, lambda_pixel=1e-2,
+                 lambda_vgg=1.0, vgg_weights=None, discriminator=None,
+                 d_lr=None, nf=64, nb=23, gc=32, **kwargs):
+        self.pretrain_epochs = pretrain_epochs
+        self.lambda_adv = lambda_adv
+        self.lambda_pixel = lambda_pixel
+        # perceptual term requires pretrained VGG weights; zero when absent
+        self.lambda_vgg = lambda_vgg if vgg_weights else 0.0
+        self.vgg_weights = vgg_weights
+        self.discriminator_type = discriminator or self.discriminator_type
+        self.curr_epoch = 0
+        self._d_lr = d_lr
+        super().__init__(nf=nf, nb=nb, gc=gc, **kwargs)
+        self.d_tx = build_optimizer(d_lr or self.lr)
+        self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0,))
+
+    def build_module(self, nf, nb, gc):
+        return RRDBNet(scale=self.scale, nf=nf, nb=nb, gc=gc,
+                       dtype=self.dtype)
+
+    def build_discriminator(self) -> nn.Module:
+        if self.discriminator_type in ("vgg128", "vgg"):
+            return VGGStyleDiscriminator128(dtype=self.dtype)
+        return UNetDiscriminatorSN(dtype=self.dtype)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.curr_epoch = epoch
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed if seed is None else seed)
+        grng, drng, srng = jax.random.split(rng, 3)
+        g_vars = self.module.init(grng, *self.example_inputs())
+        self.discriminator = self.build_discriminator()
+        d_size = 128 if self.discriminator_type in ("vgg128", "vgg") else 64
+        d_vars = self.discriminator.init(
+            drng, jnp.zeros((1, d_size, d_size, 3), jnp.float32),
+            train=True)
+        params = {"generator": g_vars["params"],
+                  "discriminator": d_vars["params"]}
+        extra = {"d_vars": {k: v for k, v in d_vars.items()
+                            if k != "params"}}
+        opt_state = {"generator": self.tx.init(params["generator"]),
+                     "discriminator": self.d_tx.init(
+                         params["discriminator"])}
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state, extra=extra, rng=srng)
+
+    # -- forward -----------------------------------------------------------
+
+    def apply(self, params, batch, train=False, rng=None, extra=None):
+        gp = params["generator"] if "generator" in params else params
+        sr = self.module.apply({"params": gp}, batch["lr"])
+        return sr, {}, extra
+
+    def _disc_apply(self, d_params, d_vars, img, train):
+        variables = {"params": d_params, **d_vars}
+        mutable = [k for k in d_vars.keys()] if train else False
+        if mutable:
+            out, mut = self.discriminator.apply(variables, img, train=train,
+                                                mutable=mutable)
+            return out, mut
+        out = self.discriminator.apply(variables, img, train=train)
+        return out, d_vars
+
+    # -- training ----------------------------------------------------------
+
+    def _adv_g_loss(self, pred_fake, pred_real):
+        if self.gan_mode == "relativistic":
+            # relativistic average GAN (ESRGAN)
+            real_rel = pred_real - pred_fake.mean()
+            fake_rel = pred_fake - pred_real.mean()
+            return 0.5 * (
+                optax.sigmoid_binary_cross_entropy(
+                    fake_rel, jnp.ones_like(fake_rel)).mean()
+                + optax.sigmoid_binary_cross_entropy(
+                    real_rel, jnp.zeros_like(real_rel)).mean())
+        return jnp.mean((pred_fake - 1.0) ** 2)
+
+    def _adv_d_loss(self, pred_fake, pred_real):
+        if self.gan_mode == "relativistic":
+            real_rel = pred_real - pred_fake.mean()
+            fake_rel = pred_fake - pred_real.mean()
+            return (0.5 * optax.sigmoid_binary_cross_entropy(
+                        real_rel, jnp.ones_like(real_rel)).mean(),
+                    0.5 * optax.sigmoid_binary_cross_entropy(
+                        fake_rel, jnp.zeros_like(fake_rel)).mean())
+        return (jnp.mean((pred_real - 1.0) ** 2),
+                jnp.mean(pred_fake ** 2))
+
+    def _gan_step_impl(self, state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        extra = state.extra
+        d_vars = extra["d_vars"]
+
+        # ---- generator update ----
+        def g_loss_fn(g_params):
+            sr, _, _ = self.apply({"generator": g_params}, batch,
+                                  train=True, extra=extra)
+            pixel = jnp.mean(jnp.abs(sr - batch["hr"]))
+            pred_fake, _ = self._disc_apply(state.params["discriminator"],
+                                            d_vars, sr, False)
+            pred_real, _ = self._disc_apply(state.params["discriminator"],
+                                            d_vars, batch["hr"], False)
+            adv = self._adv_g_loss(pred_fake,
+                                   jax.lax.stop_gradient(pred_real))
+            total = self.lambda_pixel * pixel + self.lambda_adv * adv
+            return total, (sr, pixel, adv)
+
+        g_grads, (sr, pixel, adv) = jax.grad(g_loss_fn, has_aux=True)(
+            state.params["generator"])
+        g_updates, g_opt = self.tx.update(g_grads,
+                                          state.opt_state["generator"],
+                                          state.params["generator"])
+        g_params = optax.apply_updates(state.params["generator"], g_updates)
+
+        # ---- discriminator update ----
+        sr_detached = jax.lax.stop_gradient(sr)
+
+        def d_loss_fn(d_params):
+            pred_real, new_vars = self._disc_apply(d_params, d_vars,
+                                                   batch["hr"], True)
+            pred_fake, new_vars = self._disc_apply(d_params, new_vars,
+                                                   sr_detached, True)
+            loss_real, loss_fake = self._adv_d_loss(pred_fake, pred_real)
+            return loss_real + loss_fake, (loss_real, loss_fake, new_vars)
+
+        d_grads, (loss_real, loss_fake, new_d_vars) = jax.grad(
+            d_loss_fn, has_aux=True)(state.params["discriminator"])
+        d_updates, d_opt = self.d_tx.update(
+            d_grads, state.opt_state["discriminator"],
+            state.params["discriminator"])
+        d_params = optax.apply_updates(state.params["discriminator"],
+                                       d_updates)
+
+        losses = {"train-loss": self.lambda_pixel * pixel
+                  + self.lambda_adv * adv,
+                  "l1-loss": pixel, "gan-loss": adv,
+                  "vgg-loss": jnp.zeros(()),
+                  "d-loss-real": loss_real, "d-loss-fake": loss_fake}
+        new_state = state.replace(
+            step=state.step + 1,
+            params={"generator": g_params, "discriminator": d_params},
+            opt_state={"generator": g_opt, "discriminator": d_opt},
+            extra={**extra, "d_vars": new_d_vars}, rng=rng)
+        return new_state, losses
+
+    def _pretrain_step_impl(self, state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(g_params):
+            sr, _, _ = self.apply({"generator": g_params}, batch,
+                                  train=True, extra=state.extra)
+            return jnp.mean(jnp.abs(sr - batch["hr"]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params["generator"])
+        updates, g_opt = self.tx.update(grads, state.opt_state["generator"],
+                                        state.params["generator"])
+        g_params = optax.apply_updates(state.params["generator"], updates)
+        z = jnp.zeros(())
+        losses = {"train-loss": loss, "l1-loss": loss, "gan-loss": z,
+                  "vgg-loss": z, "d-loss-real": z, "d-loss-fake": z}
+        new_state = state.replace(
+            step=state.step + 1,
+            params={**state.params, "generator": g_params},
+            opt_state={**state.opt_state, "generator": g_opt}, rng=rng)
+        return new_state, losses
+
+    def _rejit(self):
+        self._train_step = jax.jit(self._pretrain_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def train_batch(self, state, batch):
+        if self.curr_epoch < self.pretrain_epochs:
+            return self._train_step(state, batch)
+        return self._gan_step(state, batch)
+
+    def _eval_step_impl(self, params_extra, batch):
+        params, extra = params_extra
+        sr, _, _ = self.apply(params, batch, train=False, extra=extra)
+        return sr
+
+
+@register_model("esrgan")
+class ESRGANHandler(BaseGANHandler):
+    """ESRGAN: RRDB generator + VGG-128 discriminator, relativistic GAN
+    after L1 pre-training (handlers.py:17-113)."""
+    gan_mode = "relativistic"
+    discriminator_type = "vgg128"
+
+    def __init__(self, pretrain_epochs=5, **kwargs):
+        super().__init__(pretrain_epochs=pretrain_epochs, **kwargs)
+
+
+@register_model("bsrgan")
+class BSRGANHandler(BaseGANHandler):
+    gan_mode = "lsgan"
+    discriminator_type = "unet_sn"
+
+
+@register_model("realesrgan")
+class RealESRGANHandler(BaseGANHandler):
+    """Real-ESRGAN: same machinery, U-Net SN discriminator; the heavy
+    degradation pipeline arrives via the dataset's online_degradations
+    (the reference did it in dataloader workers)."""
+    gan_mode = "lsgan"
+    discriminator_type = "unet_sn"
+
+
+@register_model("qrealesrgan")
+class QRealESRGANHandler(BaseGANHandler):
+    """Meta-attention Real-ESRGAN (QRRDBNet): degradation metadata gates
+    the trunk via ParaCALayers."""
+    gan_mode = "lsgan"
+    discriminator_type = "unet_sn"
+    uses_metadata = True
+
+    def __init__(self, metadata=None, metadata_bypass_len=None, **kwargs):
+        from rumpy_tpu.models.attention_manipulators import \
+            compute_num_metadata
+        self.metadata_keys = list(metadata) if metadata else ["qpi"]
+        self.num_metadata = compute_num_metadata(self.metadata_keys,
+                                                 metadata_bypass_len)
+        super().__init__(**kwargs)
+
+    def build_module(self, nf, nb, gc):
+        return RRDBNet(scale=self.scale, nf=nf, nb=nb, gc=gc,
+                       num_metadata=self.num_metadata, dtype=self.dtype)
+
+    def example_inputs(self, batch: int = 1, size: int = 16):
+        return (jnp.zeros((batch, size, size, self.in_features), jnp.float32),
+                jnp.zeros((batch, self.num_metadata), jnp.float32))
+
+    def apply(self, params, batch, train=False, rng=None, extra=None):
+        gp = params["generator"] if "generator" in params else params
+        sr = self.module.apply({"params": gp}, batch["lr"],
+                               batch["metadata"].astype(jnp.float32))
+        return sr, {}, extra
