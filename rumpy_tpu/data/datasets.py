@@ -73,6 +73,8 @@ class SuperResImages:
                  group_select: Optional[Sequence[int]] = None,
                  crop: Optional[int] = None,
                  crop_count: int = 1,
+                 patch_type: str = "random",
+                 predefined_patch_locations=None,
                  augmentations: bool = False,
                  online_degradations: bool = False,
                  degradation_pipeline=None,
@@ -82,6 +84,8 @@ class SuperResImages:
         self.colorspace = colorspace
         self.crop = crop
         self.crop_count = crop_count
+        self.patch_type = patch_type
+        self.predefined_patch_locations = predefined_patch_locations
         self.augmentations = augmentations
         self.online_degradations = online_degradations
         self.degradation_pipeline = degradation_pipeline
@@ -171,6 +175,20 @@ class SuperResImages:
             return np.ascontiguousarray(a)
         return [f(i) for i in imgs]
 
+    def _select_patch(self, img: np.ndarray, crop_size: int, idx: int):
+        """Patch corner by patch_type (image_patch_selection parity,
+        image_functions.py:297-326): random / entropy / predefined."""
+        if self.patch_type == "predefined" and self.predefined_patch_locations:
+            return tuple(self.predefined_patch_locations[
+                idx % len(self.predefined_patch_locations)])
+        if self.patch_type == "entropy" and img.shape[-1] == 3:
+            from rumpy_tpu.ops.entropy import entropy_patch_positions
+            ys, xs = entropy_patch_positions(img, crop_size, 1)
+            return ys[0], xs[0]
+        top = int(self._rng.integers(0, max(1, img.shape[0] - crop_size + 1)))
+        left = int(self._rng.integers(0, max(1, img.shape[1] - crop_size + 1)))
+        return top, left
+
     # -- main accessor -----------------------------------------------------
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
@@ -244,8 +262,7 @@ class SuperResImages:
         if self.crop is not None:
             cs = self.crop
             eff_scale = 1 if self.input == "interp" else self.scale
-            top = int(self._rng.integers(0, max(1, lr_f.shape[0] - cs + 1)))
-            left = int(self._rng.integers(0, max(1, lr_f.shape[1] - cs + 1)))
+            top, left = self._select_patch(lr_f, cs, idx)
             lr_f = lr_f[top:top + cs, left:left + cs]
             if hr_f is not None:
                 hs = cs * eff_scale
@@ -266,4 +283,39 @@ class SuperResImages:
         out["metadata"] = (meta if meta is not None
                            else np.array([], np.float32))
         out["metadata_keys"] = self.metadata_keys
+        return out
+
+
+class VideoSequenceImages(SuperResImages):
+    """VSR dataset (reference data_handler.py:651-759): LR frames are
+    grouped into `num_frames` bundles concatenated on the channel axis;
+    the HR target is a single frame chosen by `hr_selection`
+    ('center' | index). Frame ordering follows the sorted listing; clips
+    are consecutive windows within it."""
+
+    def __init__(self, num_frames: int = 5, hr_selection="center", **kwargs):
+        super().__init__(**kwargs)
+        self.num_frames = num_frames
+        self.hr_selection = (num_frames // 2 if hr_selection == "center"
+                             else int(hr_selection))
+        # valid window starts
+        self._starts = list(range(0, len(self.lr_files) - num_frames + 1))
+
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def __getitem__(self, idx: int):
+        start = self._starts[idx]
+        frames = []
+        for i in range(self.num_frames):
+            item = super().__getitem__(start + i)
+            frames.append(item["lr"])
+            if i == self.hr_selection:
+                target = item
+        bundle = np.concatenate(frames, axis=-1)
+        out = {"lr": bundle, "tag": target["tag"],
+               "metadata": target["metadata"],
+               "metadata_keys": target["metadata_keys"]}
+        if "hr" in target:
+            out["hr"] = target["hr"]
         return out

@@ -113,7 +113,7 @@ class QCALayer(nn.Module):
     def __call__(self, x, attributes):
         conv = lambda ch: nn.Conv(ch, (1, 1), dtype=self.dtype,
                                   param_dtype=jnp.float32)
-        red = self.channel // self.reduction
+        red = max(1, self.channel // self.reduction)
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
         attrs = (attributes[:, None, None, :].astype(y.dtype)
                  if attributes is not None else None)

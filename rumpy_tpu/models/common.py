@@ -121,7 +121,7 @@ class CALayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = nn.Conv(self.features // self.reduction, (1, 1), dtype=self.dtype,
+        y = nn.Conv(max(1, self.features // self.reduction), (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (1, 1), dtype=self.dtype,

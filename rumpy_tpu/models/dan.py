@@ -42,7 +42,7 @@ class DANCALayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = nn.Conv(self.nf // self.reduction, (1, 1), dtype=self.dtype,
+        y = nn.Conv(max(1, self.nf // self.reduction), (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(y)
         y = nn.leaky_relu(y, 0.2)
         y = nn.Conv(self.nf, (1, 1), dtype=self.dtype,

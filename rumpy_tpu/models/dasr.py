@@ -63,7 +63,7 @@ class DAConv(nn.Module):
         out = nn.Conv(self.channels_out, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(out)
         # branch 2: channel attention from the embedding
-        att = nn.Conv(c // self.reduction, (1, 1), use_bias=False,
+        att = nn.Conv(max(1, c // self.reduction), (1, 1), use_bias=False,
                       dtype=self.dtype, param_dtype=jnp.float32)(
             k_v[:, None, None, :].astype(x.dtype))
         att = nn.leaky_relu(att, 0.1)

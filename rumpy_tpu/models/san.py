@@ -59,7 +59,7 @@ class SOCA(nn.Module):
         cov_sqrt = _cov_sqrt(flat)
         # mean over rows -> (B, C) channel statistic
         stat = jnp.mean(cov_sqrt, axis=1)[:, None, None, :].astype(x.dtype)
-        y = nn.Conv(self.channel // self.reduction, (1, 1),
+        y = nn.Conv(max(1, self.channel // self.reduction), (1, 1),
                     dtype=self.dtype, param_dtype=jnp.float32)(stat)
         y = nn.relu(y)
         y = nn.Conv(self.channel, (1, 1), dtype=self.dtype,

@@ -1,0 +1,81 @@
+"""Local-entropy patch selection on device.
+
+Reference: entropy_patch_selection (image_functions.py:255-284) — skimage
+rank-entropy over a rectangular window on the uint8 Y channel, average-
+pooled at the crop size, argmax (or iterative top-k with NaN masking of
+overlapping picks).
+
+SURVEY.md §7 lists this as hard part 5 (skimage has no jnp equivalent).
+TPU design: quantize luma to `levels` bins, one-hot the image into
+(H, W, levels) planes, box-filter each plane with two separable
+ones-convolutions (pure matmul-free VPU work), and compute
+-sum(p*log2(p)) per pixel. All static shapes, fully jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rumpy_tpu.utils.color import rgb_to_ycbcr
+
+
+def _box_filter_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable box sum over (H, W) with zero padding ('same')."""
+    k = jnp.ones((size,), x.dtype)
+    pad_l = (size - 1) // 2
+    pad_r = size - 1 - pad_l
+    def conv1d(v, axis):
+        vp = jnp.pad(v, [(pad_l, pad_r) if a == axis else (0, 0)
+                         for a in range(v.ndim)])
+        windows = [jnp.take(vp, jnp.arange(v.shape[axis]) + i, axis=axis)
+                   for i in range(size)]
+        return sum(windows)
+    return conv1d(conv1d(x, 0), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("region", "levels"))
+def local_entropy(gray_u8: jnp.ndarray, region: int = 10,
+                  levels: int = 256) -> jnp.ndarray:
+    """Per-pixel entropy of the `region`x`region` neighborhood of a
+    (H, W) uint8-valued array (skimage.filters.rank.entropy semantics,
+    bits). Quantize `levels` below 256 for cheaper one-hots."""
+    q = (gray_u8.astype(jnp.int32) * levels) // 256 if levels != 256 \
+        else gray_u8.astype(jnp.int32)
+    onehot = jax.nn.one_hot(q, levels, dtype=jnp.float32)  # (H, W, L)
+    counts = _box_filter_same(onehot, region)
+    total = jnp.sum(counts, axis=-1, keepdims=True)
+    p = counts / jnp.maximum(total, 1.0)
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(p), 0.0), axis=-1)
+
+
+def entropy_patch_positions(image_rgb: jnp.ndarray, crop_size: int,
+                            number_of_patches: int = 1,
+                            selection: str = "highest",
+                            region: int = 10,
+                            levels: int = 64) -> Tuple[list, list]:
+    """Top-k entropy patch corners for an (H, W, 3) float [0,1] image,
+    masking out overlaps between successive picks (reference :266-284).
+    Returns (ys, xs)."""
+    import numpy as np
+    y = rgb_to_ycbcr(image_rgb, y_only=True, im_type="jpg")[..., 0]
+    gray = jnp.clip(jnp.round(y * 255.0), 0, 255)
+    ent = local_entropy(gray, region=region, levels=levels)
+    # avg-pool at crop size, stride 1 ('VALID')
+    pooled = _box_filter_same(ent, crop_size)[
+        crop_size // 2: ent.shape[0] - (crop_size - 1) // 2,
+        crop_size // 2: ent.shape[1] - (crop_size - 1) // 2]
+    arr = np.asarray(pooled, dtype=np.float64)
+    ys, xs = [], []
+    for _ in range(number_of_patches):
+        idx = (np.nanargmax(arr) if selection == "highest"
+               else np.nanargmin(arr))
+        yy, xx = np.unravel_index(idx, arr.shape)
+        arr[max(0, yy - crop_size):yy + crop_size,
+            max(0, xx - crop_size):xx + crop_size] = np.nan
+        ys.append(int(yy))
+        xs.append(int(xx))
+    return ys, xs

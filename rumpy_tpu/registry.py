@@ -27,6 +27,7 @@ _MODEL_MODULES = [
     "rumpy_tpu.models.contrastive",
     "rumpy_tpu.models.dan",
     "rumpy_tpu.models.dasr",
+    "rumpy_tpu.models.face_models",
     "rumpy_tpu.models.ikc",
     "rumpy_tpu.models.han_elan",
     "rumpy_tpu.models.san",

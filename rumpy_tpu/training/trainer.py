@@ -127,6 +127,20 @@ class TrainingHandler:
         self.metric_hub = Metrics(self.metrics_list)
         self.stats: Dict[int, Dict[str, float]] = {}
 
+        # Optional Aim experiment tracking (reference base_handler.py:182-204
+        # gates on the aim import the same way).
+        self.tracker = None
+        if (train_cfg.get("logging") == "aim"
+                and not config.get("no_directories")):
+            try:
+                import aim
+                self.tracker = aim.Run(
+                    experiment=config.get("experiment") or "experiment")
+                self.tracker["hparams"] = config.as_plain() \
+                    if hasattr(config, "as_plain") else dict(config)
+            except ImportError:
+                print("aim not installed; experiment tracking disabled")
+
     # ------------------------------------------------------------------
 
     def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -229,6 +243,10 @@ class TrainingHandler:
                     pass
             if self.model.model_save_dir and not self.model.no_directories:
                 self.model.save()
+            if self.tracker is not None:
+                for k, v in row.items():
+                    if k != "epoch":
+                        self.tracker.track(v, name=k, epoch=epoch)
 
             # early stopping on the tracked metric plateau
             track = row.get(self.best_metric)

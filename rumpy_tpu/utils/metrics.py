@@ -137,12 +137,12 @@ class Metrics:
                  delimeter: str = "-", lpips_weights: str | None = None):
         self.metrics = list(metrics)
         self.delimeter = delimeter
+        self.lpips = None
         for m in self.metrics:
-            if m == "LPIPS" and lpips_weights is None:
-                raise NotImplementedError(
-                    "LPIPS needs pretrained AlexNet weights; pass "
-                    "lpips_weights=<npz path>")
-            if m not in self.SUPPORTED and m != "LPIPS":
+            if m == "LPIPS":
+                from rumpy_tpu.utils.lpips_jax import LPIPS
+                self.lpips = LPIPS(lpips_weights)  # raises without weights
+            elif m not in self.SUPPORTED:
                 raise KeyError(f"Unsupported metric {m}")
 
     def run_metrics(self, im_a, im_ref, max_value: float = 1.0,
@@ -158,6 +158,10 @@ class Metrics:
             elif m == "SSIM":
                 vals = [float(ssim(im_a[i], im_ref[i], max_value))
                         for i in range(im_a.shape[0])]
+            elif m == "LPIPS" and self.lpips is not None:
+                vals = [float(v) for v in
+                        np.asarray(self.lpips(im_a / max_value,
+                                              im_ref / max_value))]
             else:
                 continue
             key = f"{key_prefix}{self.delimeter}{m}" if key_prefix else m

@@ -1,0 +1,115 @@
+"""Face/legacy family smoke tests + VSR dataset + SwinIR."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rumpy_tpu.registry import get_model
+
+
+def test_sparnet(rng):
+    h = get_model("sparnet")(scale=2, min_ch=8, max_ch=16, down_steps=2,
+                             res_depth=2)
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 16, 16, 3)).astype(np.float32),
+             "hr": rng.random((1, 16, 16, 3)).astype(np.float32)}
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (1, 16, 16, 3)
+    _, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+
+
+def test_qsparnet(rng):
+    h = get_model("qsparnet")(scale=2, metadata=["all"], min_ch=8,
+                              max_ch=16, down_steps=1, res_depth=1)
+    assert h.num_metadata == 40
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 16, 16, 3)).astype(np.float32),
+             "metadata": rng.random((1, 40)).astype(np.float32)}
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (1, 16, 16, 3)
+
+
+def test_rcansplit(rng):
+    h = get_model("rcansplitceleb")(scale=2, n_feats=8, n_resgroups=1,
+                                    n_resblocks=1)
+    state = h.init_state()
+    lr = rng.random((2, 8, 8, 3)).astype(np.float32)
+    out_a = h.run_eval(state, {"lr": lr,
+                               "metadata": np.ones((2, 1), np.float32)})
+    out_b = h.run_eval(state, {"lr": lr,
+                               "metadata": np.zeros((2, 1), np.float32)})
+    assert out_a.shape == (2, 16, 16, 3)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_waveletnet(rng, scale):
+    h = get_model("waveletnet")(scale=scale, nf=8, nb=1)
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 8, 8, 3)).astype(np.float32),
+             "hr": rng.random((1, 8 * scale, 8 * scale, 3)
+                              ).astype(np.float32)}
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (1, 8 * scale, 8 * scale, 3)
+    _, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+
+
+def test_haar_roundtrip(rng):
+    from rumpy_tpu.models.face_models import haar_dwt, haar_iwt
+    x = rng.random((1, 8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(haar_iwt(haar_dwt(x))), x,
+                               atol=1e-6)
+
+
+def test_dicnet(rng):
+    h = get_model("dicnet")(scale=2, nf=8, iterations=2)
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 8, 8, 3)).astype(np.float32),
+             "hr": rng.random((1, 16, 16, 3)).astype(np.float32)}
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (1, 16, 16, 3)
+
+
+def test_fssr(rng):
+    h = get_model("fssr")(scale=4, pretrain_epochs=0, nf=8, nb=1, gc=4,
+                          lr=1e-3)
+    h.set_epoch(0)
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 16, 16, 3)).astype(np.float32),
+             "hr": rng.random((1, 64, 64, 3)).astype(np.float32)}
+    state, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+
+
+def test_face_attribute_gans_registered():
+    from rumpy_tpu.registry import available_models
+    models = available_models()
+    for name in ["facesrattributesgan", "agagan", "fmfnet", "swinir",
+                 "sparnet", "waveletnet", "dicnet", "fssr", "dasr", "dcls",
+                 "san", "qsan", "ikc", "sftmd", "dan"]:
+        assert name in models, name
+
+
+def test_video_sequence_dataset(tmp_path, rng):
+    from rumpy_tpu.data.datasets import VideoSequenceImages
+    from rumpy_tpu.ops import resize
+    lr_dir = tmp_path / "lr"
+    hr_dir = tmp_path / "hr"
+    os.makedirs(lr_dir)
+    os.makedirs(hr_dir)
+    for i in range(6):
+        hr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f"f{i:03d}.png")
+        Image.fromarray(np.asarray(resize.pil_resize(hr, (8, 8)))
+                        ).save(lr_dir / f"f{i:03d}.png")
+    ds = VideoSequenceImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir),
+                             scale=2, num_frames=3)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["lr"].shape == (8, 8, 9)   # 3 frames on channels
+    assert item["hr"].shape == (16, 16, 3)  # single target frame
+    assert item["tag"] == "f001.png"        # center frame
