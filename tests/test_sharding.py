@@ -1,0 +1,78 @@
+"""Multi-device (8-way virtual CPU mesh) tests: data-parallel training,
+global-view queue semantics, replicated-state consistency — the TPU-native
+answer to multi-node testing (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rumpy_tpu.parallel import mesh as mesh_mod
+from rumpy_tpu.registry import get_model
+
+
+@pytest.fixture
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return mesh_mod.get_mesh(n_data=8)
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["model"] == 1
+
+
+def test_data_parallel_train_step_matches_single_device(mesh, rng):
+    """Same batch, sharded vs unsharded: identical loss and params."""
+    h = get_model("edsr")(scale=2, num_features=8, num_blocks=1, lr=1e-3)
+    batch_np = {"lr": rng.random((8, 8, 8, 3)).astype(np.float32),
+                "hr": rng.random((8, 16, 16, 3)).astype(np.float32)}
+
+    state_a = h.init_state(seed=0)
+    state_a, loss_a = h.train_batch(state_a, batch_np)
+
+    state_b = h.init_state(seed=0)
+    state_b = mesh_mod.replicate(mesh, state_b)
+    sharded = mesh_mod.shard_batch(mesh, batch_np)
+    state_b, loss_b = h.train_batch(state_b, sharded)
+
+    assert abs(float(loss_a["train-loss"])
+               - float(loss_b["train-loss"])) < 1e-5
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_moco_queue_sees_global_batch(mesh, rng):
+    """The MoCo queue must enqueue the full cross-device batch — the
+    behavior the reference's dead DDP gather never delivered."""
+    h = get_model("moco")(K=16, dim=32, lr=1e-3)
+    state = mesh_mod.replicate(mesh, h.init_state())
+    batch = {"image_query": rng.random((8, 32, 32, 3)).astype(np.float32),
+             "image_key": rng.random((8, 32, 32, 3)).astype(np.float32)}
+    state, _ = h.train_batch(state, mesh_mod.shard_batch(mesh, batch))
+    assert int(state.extra["queue_ptr"]) == 8  # all 8 global keys enqueued
+
+
+def test_fused_degradation_shards(mesh, jkey, rng):
+    from rumpy_tpu.degradations.pipeline import ImagePipeline, fused_degrade
+    pipe = ImagePipeline(
+        [["realesrganblur", "b"], ["downsample", "d"]],
+        deg_configs={"b": {"kernel_range": ["iso"], "kernel_size": 9,
+                           "request_kernel_metadata": True},
+                     "d": {"scale": 2}})
+    fn = fused_degrade(pipe)
+    hr = mesh_mod.shard_batch(
+        mesh, {"hr": rng.random((8, 16, 16, 3)).astype(np.float32)})["hr"]
+    lr, meta = fn(jkey, hr)
+    assert lr.shape == (8, 8, 8, 3)
+    # output inherits a data-axis sharding
+    spec = lr.sharding.spec if hasattr(lr.sharding, "spec") else None
+    assert spec is None or spec[0] in ("data", None)
+
+
+def test_local_batch_size(mesh):
+    assert mesh_mod.local_batch_size(mesh, 32) == 4
+    with pytest.raises(ValueError):
+        mesh_mod.local_batch_size(mesh, 12)
