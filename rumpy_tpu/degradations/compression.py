@@ -156,7 +156,19 @@ class JMCompress(DegradationOp):
                 (arr * 255).astype(np.uint8))
             out = self._jm_binary_compress(pil, qpi)
             out = out if was_pil else np.asarray(out)
-        else:
+            return out, {"qpi": self._norm(qpi)}
+        # native C++ path: JM-style intra with real 4:2:0 chroma
+        # subsampling (closer to JM than the on-device 4:4:4 codec)
+        u8 = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+        h, w = u8.shape[:2]
+        try:
+            from rumpy_tpu import native
+            ev_h, ev_w = h - h % 2, w - w % 2
+            comp = native.h264_intra(u8[:ev_h, :ev_w], qpi)
+            u8 = u8.copy()
+            u8[:ev_h, :ev_w] = comp
+            out = Image.fromarray(u8) if was_pil else u8
+        except Exception:
             dev = jpeg_ops.h264_intra_compress(
                 jnp.asarray(arr)[None], jnp.array([float(qpi)]))
             out = from_float_array(np.asarray(dev[0]), was_pil)

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native host library (native/rumpy_native.cpp).
+
+Builds the shared library on first use if g++ is available (the compiled
+.so is cached next to the source); callers must handle
+:class:`NativeUnavailable` and fall back to the Python/JAX paths.
+
+Components (see the .cpp header for the design rationale):
+  * pil_resize  — bit-exact Pillow bicubic/bilinear (integer fixed point);
+  * h264_intra  — JM-style pure-intra H.264 approximation with real
+    4:2:0 chroma subsampling;
+  * entropy_patch — host entropy patch selection for dataloader workers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "rumpy_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "librumpy_native.so")
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.isfile(_SO) or (os.path.isfile(_SRC) and
+                                   os.path.getmtime(_SRC)
+                                   > os.path.getmtime(_SO)):
+        if not os.path.isfile(_SRC):
+            raise NativeUnavailable(f"missing {_SRC}")
+        try:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+                            _SRC], check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise NativeUnavailable(f"native build failed: {e}")
+    lib = ctypes.CDLL(_SO)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pil_resize_u8.argtypes = [u8p] + [ctypes.c_int] * 3 + [u8p] + \
+        [ctypes.c_int] * 3
+    lib.h264_intra_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, u8p]
+    lib.entropy_patch_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def pil_resize(img: np.ndarray, size: Tuple[int, int],
+               filter: str = "bicubic") -> np.ndarray:
+    """Bit-exact Pillow resize on host. img (H, W, C) uint8."""
+    lib = _load()
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    oh, ow = size
+    out = np.empty((oh, ow, c), np.uint8)
+    fid = {"bicubic": 0, "bilinear": 1}[filter]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pil_resize_u8(img.ctypes.data_as(u8p), h, w, c,
+                      out.ctypes.data_as(u8p), oh, ow, fid)
+    return out
+
+
+def h264_intra(rgb: np.ndarray, qp: int) -> np.ndarray:
+    """JM-style intra compression round-trip. rgb (H, W, 3) uint8 with
+    even dimensions (the JM constraint)."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    out = np.empty_like(rgb)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.h264_intra_u8(rgb.ctypes.data_as(u8p), h, w, int(qp),
+                      out.ctypes.data_as(u8p))
+    return out
+
+
+def entropy_patch(gray_u8: np.ndarray, region: int = 10,
+                  crop_size: int = 32) -> Tuple[int, int]:
+    lib = _load()
+    gray_u8 = np.ascontiguousarray(gray_u8, dtype=np.uint8)
+    h, w = gray_u8.shape
+    by = ctypes.c_int()
+    bx = ctypes.c_int()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.entropy_patch_u8(gray_u8.ctypes.data_as(u8p), h, w, region,
+                         crop_size, ctypes.byref(by), ctypes.byref(bx))
+    return by.value, bx.value
