@@ -52,6 +52,18 @@ def local_entropy(gray_u8: jnp.ndarray, region: int = 10,
     return -jnp.sum(jnp.where(p > 0, p * jnp.log2(p), 0.0), axis=-1)
 
 
+def local_entropy_best(gray_u8: jnp.ndarray, region: int = 10,
+                       levels: int = 64) -> jnp.ndarray:
+    """Dispatch to the Pallas histogram kernel on TPU (2.3x the XLA
+    one-hot path on v5e), XLA elsewhere."""
+    if jax.default_backend() == "tpu" or "axon" in jax.default_backend():
+        from rumpy_tpu.ops.pallas.entropy_kernel import local_entropy_pallas
+        return local_entropy_pallas(
+            jnp.clip(jnp.round(gray_u8), 0, 255).astype(jnp.uint8),
+            region=region, levels=levels)
+    return local_entropy(gray_u8, region=region, levels=levels)
+
+
 def entropy_patch_positions(image_rgb: jnp.ndarray, crop_size: int,
                             number_of_patches: int = 1,
                             selection: str = "highest",
