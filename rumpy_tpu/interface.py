@@ -160,14 +160,27 @@ class SISRInterface:
         self.model_epoch = epoch
 
     def net_run_and_process(self, lr=None, hr=None, metadata=None,
-                            timing: bool = False, **kwargs):
+                            timing: bool = False,
+                            pad_multiple: Optional[int] = 8, **kwargs):
         """Eval forward with colorspace post-processing. `lr` is channel-last
         RGB float [0,1] (pre-interpolated for interp-input models).
-        Returns (rgb, ycbcr) outputs, both clipped."""
+        Returns (rgb, ycbcr) outputs, both clipped.
+
+        Variable-size eval (SURVEY.md §7 hard part 2): full images are
+        reflect-padded up to a `pad_multiple` bucket so XLA compiles one
+        program per bucket instead of one per image shape; the SR output
+        is cropped back before metrics."""
         import time
         lr = jnp.asarray(lr)
         if lr.ndim == 3:
             lr = lr[None]
+        orig_h, orig_w = lr.shape[1:3]
+        if pad_multiple and pad_multiple > 1:
+            ph = (-orig_h) % pad_multiple
+            pw = (-orig_w) % pad_multiple
+            if ph or pw:
+                lr = jnp.pad(lr, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                             mode="reflect")
         batch: Dict[str, Any] = {}
         if metadata is not None and np.size(metadata):
             batch["metadata"] = jnp.asarray(metadata)
@@ -185,6 +198,9 @@ class SISRInterface:
             out_rgb = jnp.clip(ycbcr_to_rgb(out_ycc, im_type="jpg"), 0.0, 1.0)
         out_rgb.block_until_ready()
         elapsed = time.perf_counter() - t0
+        s = out_rgb.shape[1] // lr.shape[1]
+        out_rgb = out_rgb[:, :orig_h * s, :orig_w * s]
+        out_ycc = out_ycc[:, :orig_h * s, :orig_w * s]
         if timing:
             return np.asarray(out_rgb), np.asarray(out_ycc), None, elapsed
         return np.asarray(out_rgb), np.asarray(out_ycc), None, None
