@@ -65,6 +65,139 @@ class ParaCALayer(nn.Module):
         return x * y
 
 
+class ResPipesCALayer(nn.Module):
+    """Multi-pipe meta-attention (q_layer.py:55-113): `num_pipes` parallel
+    1x1-conv stacks of increasing depth run the metadata from M up to
+    network_channels; pipes are concatenated (or summed) into the final
+    sigmoid attention vector."""
+    network_channels: int
+    num_metadata: int
+    nonlinearity: bool = True
+    num_layers: Any = 2
+    num_pipes: int = 3
+    combine_pipes: str = "concat"
+    dtype: Any = jnp.float32
+
+    def _pipe_sizes(self, i):
+        if isinstance(self.num_layers, (list, tuple)):
+            n = self.num_layers[i]
+        else:
+            n = self.num_layers + i
+        start, stop = self.num_metadata, self.network_channels
+        diff = (stop - start) / n
+        return [int(diff * j + start) for j in range(n + 1)]
+
+    @nn.compact
+    def __call__(self, x, attributes):
+        y_in = attributes[:, None, None, :].astype(self.dtype)
+        outs = []
+        for i in range(self.num_pipes):
+            sizes = self._pipe_sizes(i)
+            y = y_in
+            for out_ch in sizes[1:]:
+                y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32)(y)
+                if self.nonlinearity:
+                    y = nn.relu(y)
+            outs.append(y)
+        if self.combine_pipes == "add":
+            combined = sum(outs)
+        else:
+            combined = jnp.concatenate(outs, axis=-1)
+        y = nn.Conv(self.network_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32)(combined)
+        return x * nn.sigmoid(y)
+
+
+class ResPipesSplitCALayer(nn.Module):
+    """Split-pipe meta-attention (q_layer.py:126-215): pipe 0 maps the
+    metadata up to network_channels, a `split_percent` slice is kept
+    and the remainder feeds the next pipe; kept slices concat into the
+    attention vector."""
+    network_channels: int
+    num_metadata: int
+    nonlinearity: bool = True
+    num_layers: Any = 2
+    num_pipes: int = 3
+    split_percent: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attributes):
+        split_f = int(self.network_channels * self.split_percent)
+        rem_f = self.network_channels - split_f
+        y = attributes[:, None, None, :].astype(self.dtype)
+        kept = []
+        carry = y
+        for i in range(self.num_pipes):
+            if isinstance(self.num_layers, (list, tuple)):
+                n = self.num_layers[i]
+            else:
+                n = self.num_layers + i
+            start = self.num_metadata if i == 0 else rem_f
+            stop = split_f if i == self.num_pipes - 1 \
+                else self.network_channels
+            diff = (stop - start) / n
+            sizes = [int(diff * j + start) for j in range(n + 1)]
+            h = carry
+            for out_ch in sizes[1:]:
+                h = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32)(h)
+                if self.nonlinearity:
+                    h = nn.relu(h)
+            if i == self.num_pipes - 1:
+                kept.append(h)
+            else:
+                kept.append(h[..., :split_f])
+                carry = h[..., split_f:]
+        combined = jnp.concatenate(kept, axis=-1)
+        att = nn.Conv(self.network_channels, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32)(combined)
+        return x * nn.sigmoid(att)
+
+
+class DGFMBLayer(nn.Module):
+    """Degradation-Guided Feature Modulation Block (dgfmb_layer.py:5-92):
+    global-avg-pooled features concat a (reduced) degradation encoding,
+    staged 1x1 stack -> sigmoid -> residual channel gate."""
+    num_channels: int = 64
+    degradation_full_dim: int = 256
+    degradation_reduced_dim: int = 64
+    num_layers: Any = 2
+    use_reduction: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, encoding):
+        red_dim = (self.degradation_reduced_dim if self.use_reduction
+                   else self.degradation_full_dim)
+        gap = features.mean(axis=(1, 2), keepdims=True)
+        enc = encoding[:, None, None, :].astype(features.dtype) \
+            if encoding.ndim == 2 else encoding
+        if self.use_reduction:
+            enc = nn.Conv(red_dim, (1, 1), dtype=self.dtype,
+                          param_dtype=jnp.float32)(enc)
+        y = jnp.concatenate([gap, enc], axis=-1)
+        combined = self.num_channels + red_dim
+        if isinstance(self.num_layers, (list, tuple)):
+            sizes = list(self.num_layers) + [self.num_channels]
+        else:
+            sizes = []
+            multiplier = self.num_layers
+            for _ in range(self.num_layers):
+                if combined > 15:
+                    sizes.append((self.num_channels - combined)
+                                 // multiplier + combined)
+                else:
+                    sizes.append(self.num_channels // multiplier)
+                multiplier -= 1
+        for out_ch in sizes:
+            y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32)(y)
+        att = nn.sigmoid(y)
+        return features * att + features
+
+
 class PALayer(nn.Module):
     """Pixel attention: per-pixel sigmoid gate."""
     channel: int

@@ -30,6 +30,8 @@ _MODEL_MODULES = [
     "rumpy_tpu.models.face_models",
     "rumpy_tpu.models.ikc",
     "rumpy_tpu.models.han_elan",
+    "rumpy_tpu.models.regressors",
+    "rumpy_tpu.models.metabed",
     "rumpy_tpu.models.san",
     "rumpy_tpu.models.swinir",
 ]

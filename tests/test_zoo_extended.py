@@ -81,6 +81,32 @@ def test_dan(rng):
     assert "image-loss-iter-0" in losses and "kernel-loss-iter-1" in losses
 
 
+def test_danv2(rng):
+    h = get_model("dan")(scale=2, mode="v2", nf=16, nb=1, ng=2, loop=2,
+                         input_para=4, kernel_size=9)
+    state = h.init_state()
+    batch = _batch(rng, n=2, meta=4)
+    batch["blur_kernels"] = rng.random((2, 9, 9)).astype(np.float32)
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (2, 16, 16, 3)
+    state2, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+    assert "kernel-loss-iter-1" in losses
+
+
+def test_danv2_residual_forms(rng):
+    h = get_model("dan")(scale=2, mode="v2", nf=16, nb=1, ng=1, loop=2,
+                         input_para=4, kernel_size=9,
+                         residual_kernel=True, residual_sr=True)
+    state = h.init_state()
+    batch = _batch(rng, n=1, meta=4)
+    batch["blur_kernels"] = rng.random((1, 81)).astype(np.float32)
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (1, 16, 16, 3)
+    _, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+
+
 def test_dan_qrcan_conjugation(rng):
     h = get_model("dan")(scale=2, mode="v1QRCAN", loop=2, input_para=4,
                          kernel_size=9,
