@@ -121,7 +121,13 @@ class SuperResImages:
         self.lr_base = base_dir
         self.hr_dir = hr_dir
 
-        # metadata ingestion
+        # metadata ingestion; 'on_site' (or requesting metadata with no
+        # explicit file) resolves to <lr_dir>/degradation_metadata.csv
+        # (reference data_setup.py:109-112)
+        if metadata_file == "on_site" or (metadata_file is None
+                                          and metadata and lr_dir):
+            candidate = os.path.join(lr_dir, "degradation_metadata.csv")
+            metadata_file = candidate if os.path.isfile(candidate) else None
         self.metadata_keys: List[str] = []
         self.metadata_map: Dict[str, np.ndarray] = {}
         if metadata_file is not None:

@@ -42,10 +42,62 @@ class ConcatDataset:
         return self.datasets[ds][idx - self._offsets[ds]]
 
 
+class CelebaSplitSampler:
+    """Attribute-positive-first sampling order (data_handler.py:814-857):
+    every epoch yields all indices whose selected celeba attribute is
+    positive (shuffled), then the negatives (shuffled)."""
+
+    def __init__(self, data_source, selected_attribute: str = "gender",
+                 seed: int = 0):
+        self.attribute = selected_attribute
+        self._rng = np.random.default_rng(seed)
+        datasets = (data_source.datasets
+                    if isinstance(data_source, ConcatDataset)
+                    else [data_source])
+        self.positive_indices: List[int] = []
+        self.negative_indices: List[int] = []
+        offset = 0
+        for ds in datasets:
+            pos, neg, n = self._index_with_attribute(ds)
+            self.positive_indices += [p + offset for p in pos]
+            self.negative_indices += [p + offset for p in neg]
+            offset += n
+        self.length = offset
+
+    def _index_with_attribute(self, dataset):
+        keys = list(getattr(dataset, "metadata_keys", []))
+        hits = [i for i, k in enumerate(keys) if self.attribute in k]
+        if len(hits) != 1:
+            raise ValueError(
+                f"Attribute {self.attribute!r} matched {len(hits)} "
+                f"metadata keys {keys}; need exactly one")
+        col = hits[0]
+        if hasattr(dataset, "metadata"):
+            meta = np.asarray(dataset.metadata, np.float32)
+        else:
+            # SuperResImages keeps a filename->vector map in file order
+            import os
+            meta = np.stack([
+                dataset.metadata_map[os.path.basename(f)]
+                for f in dataset.lr_files]).astype(np.float32)
+        pos = np.nonzero(meta[:, col] == 1)[0].tolist()
+        neg = np.nonzero(meta[:, col] == 0)[0].tolist()
+        return pos, neg, meta.shape[0]
+
+    def __iter__(self):
+        pos = self._rng.permutation(self.positive_indices)
+        neg = self._rng.permutation(self.negative_indices)
+        return iter(np.concatenate([pos, neg]).astype(np.int64).tolist())
+
+    def __len__(self) -> int:
+        return self.length
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4,
-                 prefetch: int = 2, seed: int = 0, collate=default_collate):
+                 prefetch: int = 2, seed: int = 0, collate=default_collate,
+                 sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,6 +105,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.collate = collate
+        self.sampler = sampler
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -62,9 +115,12 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self) -> List[np.ndarray]:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(idx)
+        if self.sampler is not None:
+            idx = np.fromiter(iter(self.sampler), dtype=np.int64)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                self._rng.shuffle(idx)
         n_b = len(self)
         return [idx[i * self.batch_size:(i + 1) * self.batch_size]
                 for i in range(n_b)]
@@ -95,7 +151,8 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
                     input: str = "unmodified", colorspace: str = "rgb",
                     crop: Optional[int] = None, crop_count: int = 1,
                     augmentations: bool = False,
-                    metadata: Optional[Sequence[str]] = None, seed: int = 0):
+                    metadata: Optional[Sequence[str]] = None, seed: int = 0,
+                    sampler_attributes: Optional[Dict[str, Any]] = None):
     """Build train/val loaders from the config's
     [data.training_sets.data_N] / [data.eval_sets.data_N] tables
     (reference data_setup.py:61-207). Returns (train_loader, eval_loader)
@@ -121,10 +178,19 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
             ds_cfg.pop("name", None)
             datasets.append(SuperResImages(**ds_cfg))
         ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+        sampler = None
+        if is_train and sampler_attributes is not None:
+            # custom sampler selection (data_setup.py:190-203)
+            attrs = dict(sampler_attributes)
+            name = attrs.pop("name", "").lower()
+            if name == "celebasplitsampler":
+                sampler = CelebaSplitSampler(ds, seed=seed, **attrs)
+            else:
+                raise RuntimeError("Selected data sampler not recognized.")
         return DataLoader(
             ds, batch_size=batch_size if is_train else eval_batch_size,
-            shuffle=is_train, drop_last=is_train,
-            num_workers=dataloader_threads, seed=seed)
+            shuffle=is_train and sampler is None, drop_last=is_train,
+            num_workers=dataloader_threads, seed=seed, sampler=sampler)
 
     train = build(data_cfg.get("training_sets"), True)
     evalu = build(data_cfg.get("eval_sets"), False)

@@ -357,3 +357,192 @@ class AGAGANHandler(FaceSRAttributesGANHandler):
 @register_model("fmfnet")
 class FMFNetHandler(FaceSRAttributesGANHandler):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Unconditional face GAN (generative_face_models/)
+# ---------------------------------------------------------------------------
+
+class GANGenerator(nn.Module):
+    """DCGAN-style face generator (generative_face_models/generators.py:
+    7-38): latent -> 5x5x128 -> 4 stride-2 transposed convs -> 80x80 RGB
+    tanh image."""
+    latent_dim: int = 100
+    nf: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        x = nn.Dense(self.nf * 5 * 5, dtype=self.dtype,
+                     param_dtype=jnp.float32)(z.astype(self.dtype))
+        x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(-1, 5, 5, self.nf)
+        for _ in range(4):
+            # SAME padding = torch ConvTranspose2d(k=4, s=2, p=1) doubling
+            x = nn.ConvTranspose(self.nf, (4, 4), strides=(2, 2),
+                                 padding="SAME", dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(3, (5, 5), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return jnp.tanh(x.astype(jnp.float32))
+
+
+class GANFaceDiscriminator(nn.Module):
+    """DCGAN discriminator (generative_face_models/discriminators.py:
+    7-39): 5 conv-5 stages (4 strided, batch-normed), dropout, sigmoid
+    real/fake probability."""
+    nf: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.nf, (5, 5), dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = nn.leaky_relu(x, 0.2)
+        for _ in range(4):
+            x = nn.Conv(self.nf, (5, 5), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dropout(0.4, deterministic=not train)(x)
+        x = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.sigmoid(x.astype(jnp.float32))
+
+
+@register_model("facegan")
+class FaceGANHandler(BaseHandler):
+    """Unconditional face GAN (generative_face_models/handlers.py:6-181):
+    per step, the discriminator trains on a half batch of real images
+    (rescaled to [-1,1]) vs generated fakes with BCE, then the generator
+    trains through the frozen discriminator; reports d-loss-real/fake and
+    discriminator accuracies. The whole alternation is ONE jitted program
+    (the reference ran two separate optimizer passes)."""
+
+    colorspace = "rgb"
+    im_input = "unmodified"
+
+    def __init__(self, latent_dim=100, discriminator_lr=None, nf=128,
+                 **kwargs):
+        self.latent_dim = latent_dim
+        self.nf = nf
+        self._d_lr = discriminator_lr
+        super().__init__(**kwargs)
+        from rumpy_tpu.models.base import build_optimizer
+        self.d_tx = build_optimizer(discriminator_lr or self.lr)
+
+    def build_module(self, **kw):
+        return GANGenerator(latent_dim=self.latent_dim, nf=self.nf,
+                            dtype=self.dtype, **kw)
+
+    def example_inputs(self, batch: int = 1, size: int = 16):
+        return (jnp.zeros((batch, self.latent_dim), jnp.float32),)
+
+    def init_state(self, seed=None):
+        rng = jax.random.PRNGKey(self.seed if seed is None else seed)
+        grng, drng, srng = jax.random.split(rng, 3)
+        g_vars = self.module.init(grng, *self.example_inputs())
+        self.discriminator = GANFaceDiscriminator(nf=self.nf,
+                                                  dtype=self.dtype)
+        d_vars = self.discriminator.init(
+            drng, jnp.zeros((1, 80, 80, 3), jnp.float32), train=False)
+        params = {"generator": g_vars["params"],
+                  "discriminator": d_vars["params"]}
+        opt_state = {"generator": self.tx.init(params["generator"]),
+                     "discriminator": self.d_tx.init(
+                         params["discriminator"])}
+        extra = {"d_bstats": d_vars.get("batch_stats", {})}
+        from rumpy_tpu.models.base import TrainState
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state, extra=extra, rng=srng)
+
+    def _disc(self, d_params, bstats, img, train, rng=None):
+        variables = {"params": d_params, "batch_stats": bstats}
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        if train:
+            out, mut = self.discriminator.apply(
+                variables, img, train=True, mutable=["batch_stats"],
+                rngs=rngs)
+            return out, mut["batch_stats"]
+        return self.discriminator.apply(variables, img,
+                                        train=False), bstats
+
+    def _train_step_impl(self, state, batch):
+        import optax
+        rng, zk_d, zk_g, perm_k, drop1, drop2 = jax.random.split(
+            state.rng, 6)
+        y = batch["hr"].astype(jnp.float32)
+        n = y.shape[0]
+        half = max(1, n // 2)
+        idx = jax.random.permutation(perm_k, n)[:half]
+        y_half = y[idx] * 2.0 - 1.0  # rescale to generator's tanh range
+        bstats = state.extra["d_bstats"]
+
+        # ---- discriminator update (real half-batch + fakes) ----
+        z_d = jax.random.uniform(zk_d, (half, self.latent_dim))
+        fakes = self.module.apply(
+            {"params": state.params["generator"]}, z_d)
+        fakes = jax.lax.stop_gradient(fakes)
+
+        def d_loss_fn(dp):
+            pred_real, bs1 = self._disc(dp, bstats, y_half, True, drop1)
+            pred_fake, bs2 = self._disc(dp, bs1, fakes, True, drop2)
+            eps = 1e-7
+            loss_real = -jnp.mean(jnp.log(pred_real + eps))
+            loss_fake = -jnp.mean(jnp.log(1.0 - pred_fake + eps))
+            acc_real = jnp.mean((pred_real > 0.5).astype(jnp.float32))
+            acc_fake = jnp.mean((pred_fake <= 0.5).astype(jnp.float32))
+            return loss_real + loss_fake, (loss_real, loss_fake,
+                                           acc_real, acc_fake, bs2)
+
+        d_grads, (l_real, l_fake, acc_r, acc_f, new_bstats) = jax.grad(
+            d_loss_fn, has_aux=True)(state.params["discriminator"])
+        d_up, d_opt = self.d_tx.update(d_grads,
+                                       state.opt_state["discriminator"],
+                                       state.params["discriminator"])
+        d_params = optax.apply_updates(state.params["discriminator"], d_up)
+
+        # ---- generator update through the updated discriminator ----
+        z_g = jax.random.uniform(zk_g, (n, self.latent_dim))
+
+        def g_loss_fn(gp):
+            gen = self.module.apply({"params": gp}, z_g)
+            pred, _ = self._disc(d_params, new_bstats, gen, False)
+            eps = 1e-7
+            return -jnp.mean(jnp.log(pred + eps))
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
+            state.params["generator"])
+        g_up, g_opt = self.tx.update(g_grads, state.opt_state["generator"],
+                                     state.params["generator"])
+        g_params = optax.apply_updates(state.params["generator"], g_up)
+
+        losses = {"train-loss": g_loss, "d-loss-real": l_real,
+                  "d-loss-fake": l_fake, "d-acc-real": acc_r,
+                  "d-acc-fake": acc_f}
+        new_state = state.replace(
+            step=state.step + 1,
+            params={"generator": g_params, "discriminator": d_params},
+            opt_state={"generator": g_opt, "discriminator": d_opt},
+            extra={**state.extra, "d_bstats": new_bstats}, rng=rng)
+        return new_state, losses
+
+    def apply(self, params, batch, train=False, rng=None, extra=None):
+        gp = params["generator"] if "generator" in params else params
+        if "latent" in batch:
+            z = batch["latent"].astype(jnp.float32)
+        else:
+            n = batch["hr"].shape[0] if "hr" in batch else 1
+            z = jax.random.uniform(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                (n, self.latent_dim))
+        gen = self.module.apply({"params": gp}, z)
+        # undo tanh range for saving ((out - 1)/2 quirk kept as the
+        # reference wrote it, handlers.py:160-161 -- actually (x+1)/2
+        # is the correct inverse; the reference's off-by-sign is NOT
+        # reproduced since it only affected saved previews)
+        return (gen + 1.0) / 2.0, {}, extra
+
+    def compute_losses(self, out, batch, aux):
+        return {"train-loss": jnp.zeros(())}

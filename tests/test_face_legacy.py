@@ -113,3 +113,58 @@ def test_video_sequence_dataset(tmp_path, rng):
     assert item["lr"].shape == (8, 8, 9)   # 3 frames on channels
     assert item["hr"].shape == (16, 16, 3)  # single target frame
     assert item["tag"] == "f001.png"        # center frame
+
+
+def test_celeba_split_sampler():
+    from rumpy_tpu.data.loader import (CelebaSplitSampler, ConcatDataset,
+                                       DataLoader)
+
+    class _FakeDS:
+        metadata_keys = ["5-celeba-gender", "5-celeba-smiling"]
+
+        def __init__(self, meta):
+            self.metadata = meta
+
+        def __len__(self):
+            return len(self.metadata)
+
+        def __getitem__(self, i):
+            return {"idx": np.asarray([i], np.int64)}
+
+    ds = _FakeDS([[1, 0], [0, 1], [1, 1], [0, 0], [1, 0]])
+    s = CelebaSplitSampler(ds, selected_attribute="gender")
+    order = list(iter(s))
+    assert len(order) == 5
+    # all positives (0, 2, 4) come before negatives (1, 3)
+    assert set(order[:3]) == {0, 2, 4} and set(order[3:]) == {1, 3}
+
+    # concat offsets
+    ds2 = _FakeDS([[0, 0], [1, 0]])
+    cat = ConcatDataset([ds, ds2])
+    s2 = CelebaSplitSampler(cat, selected_attribute="gender")
+    order2 = list(iter(s2))
+    assert set(order2[:4]) == {0, 2, 4, 6} and set(order2[4:]) == {1, 3, 5}
+
+    # loader integration: sampler ordering drives the batches
+    loader = DataLoader(ds, batch_size=5, sampler=s, num_workers=1)
+    batch = next(iter(loader))
+    assert set(batch["idx"][:3, 0].tolist()) == {0, 2, 4}
+
+    with __import__("pytest").raises(ValueError):
+        CelebaSplitSampler(ds, selected_attribute="bogus")
+
+
+def test_facegan_training_and_generation(rng):
+    h = get_model("facegan")(latent_dim=8, nf=8)
+    state = h.init_state()
+    batch = {"hr": rng.random((4, 80, 80, 3)).astype(np.float32)}
+    state, losses = h.train_batch(state, batch)
+    for k in ("train-loss", "d-loss-real", "d-loss-fake",
+              "d-acc-real", "d-acc-fake"):
+        assert np.isfinite(float(losses[k])), k
+    img, _, _ = h.apply(state.params,
+                        {"latent": rng.random((2, 8)).astype(np.float32)},
+                        extra=state.extra)
+    assert img.shape == (2, 80, 80, 3)
+    assert float(np.asarray(img).min()) >= 0.0
+    assert float(np.asarray(img).max()) <= 1.0
