@@ -205,6 +205,18 @@ class SISRInterface:
             return np.asarray(out_rgb), np.asarray(out_ycc), None, elapsed
         return np.asarray(out_rgb), np.asarray(out_ycc), None, None
 
+    def net_forensic(self, lr, metadata=None, **kwargs):
+        """Forward + per-block diagnostic data (interface.py:126-131):
+        returns (image, {module_path: attention ndarray})."""
+        lr = jnp.asarray(lr)
+        if lr.ndim == 3:
+            lr = lr[None]
+        batch: Dict[str, Any] = {"lr": lr}
+        if metadata is not None and np.size(metadata):
+            batch["metadata"] = jnp.asarray(metadata)
+        out, forensic = self.model.run_forensic(self.state, batch)
+        return np.asarray(out), forensic
+
     # ------------------------------------------------------------------
     # Persistence
     # ------------------------------------------------------------------

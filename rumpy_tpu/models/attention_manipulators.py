@@ -62,6 +62,7 @@ class ParaCALayer(nn.Module):
                 y = nn.relu(y)
             multiplier -= 1
         y = nn.sigmoid(y)
+        self.sow("intermediates", "attention", y)
         return x * y
 
 
@@ -106,7 +107,9 @@ class ResPipesCALayer(nn.Module):
             combined = jnp.concatenate(outs, axis=-1)
         y = nn.Conv(self.network_channels, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(combined)
-        return x * nn.sigmoid(y)
+        y = nn.sigmoid(y)
+        self.sow("intermediates", "attention", y)
+        return x * y
 
 
 class ResPipesSplitCALayer(nn.Module):
@@ -153,7 +156,9 @@ class ResPipesSplitCALayer(nn.Module):
         combined = jnp.concatenate(kept, axis=-1)
         att = nn.Conv(self.network_channels, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(combined)
-        return x * nn.sigmoid(att)
+        att = nn.sigmoid(att)
+        self.sow("intermediates", "attention", att)
+        return x * att
 
 
 class DGFMBLayer(nn.Module):
@@ -195,6 +200,7 @@ class DGFMBLayer(nn.Module):
             y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(y)
         att = nn.sigmoid(y)
+        self.sow("intermediates", "attention", att)
         return features * att + features
 
 
@@ -281,6 +287,7 @@ class QCALayer(nn.Module):
             y = nn.sigmoid(conv(self.channel)(y))
         else:
             raise NotImplementedError(style)
+        self.sow("intermediates", "attention", y)
         return x * y
 
 

@@ -27,6 +27,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -241,6 +242,50 @@ class BaseHandler:
         if metadata is not None:
             batch["metadata"] = metadata
         return self.run_eval(state, batch)
+
+    def run_forensic(self, state: TrainState, batch):
+        """Forward pass capturing per-block diagnostic intermediates
+        (run_forensic parity, base_architecture.py:522-530). Meta-attention
+        layers `sow` their attention vectors; the handler's own `apply`
+        (with all its metadata preprocessing) runs against a proxy module
+        whose apply collects the "intermediates" collection. Returns
+        (output, {module_path: np.ndarray}); empty dict for architectures
+        with no sown intermediates."""
+        store: Dict[str, Any] = {}
+        handler = self
+
+        class _Capturing:
+            def __getattr__(self, k):
+                return getattr(handler.__dict__["_forensic_orig"], k)
+
+            def apply(self, variables, *a, **kw):
+                mod = handler.__dict__["_forensic_orig"]
+                if kw.get("mutable"):
+                    return mod.apply(variables, *a, **kw)
+                out, mods = mod.apply(variables, *a,
+                                      mutable=["intermediates"], **kw)
+                store.update(mods.get("intermediates", {}))
+                return out
+
+        self.__dict__["_forensic_orig"] = self.module
+        self.module = _Capturing()
+        try:
+            out, _, _ = self.apply(state.params, batch, train=False,
+                                   extra=state.extra)
+        finally:
+            self.module = self.__dict__.pop("_forensic_orig")
+
+        forensic: Dict[str, Any] = {}
+
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    walk(v, path + (k,))
+            else:
+                arr = tree[0] if isinstance(tree, tuple) else tree
+                forensic["/".join(path)] = np.asarray(jnp.squeeze(arr))
+        walk(store, ())
+        return out, forensic
 
     # -- checkpointing (base_architecture.py:231-423 contract) -------------
 

@@ -134,24 +134,44 @@ class Metrics:
     SUPPORTED = ("PSNR", "SSIM")
 
     def __init__(self, metrics: Sequence[str] = ("PSNR", "SSIM"),
-                 delimeter: str = "-", lpips_weights: str | None = None):
+                 delimeter: str = "-", lpips_weights: str | None = None,
+                 face_recognizer=None):
         self.metrics = list(metrics)
         self.delimeter = delimeter
         self.lpips = None
+        self.face_recognizer = face_recognizer
         for m in self.metrics:
             if m == "LPIPS":
                 from rumpy_tpu.utils.lpips_jax import LPIPS
                 self.lpips = LPIPS(lpips_weights)  # raises without weights
+            elif m == "FR_rank":
+                # face-identification rank (metrics.py:204-222); needs a
+                # FaceRecognizer with a registered gallery
+                if face_recognizer is None:
+                    raise KeyError(
+                        "FR_rank requires a face_recognizer (see "
+                        "rumpy_tpu.utils.face_recognition.FaceRecognizer)")
             elif m not in self.SUPPORTED:
                 raise KeyError(f"Unsupported metric {m}")
 
     def run_metrics(self, im_a, im_ref, max_value: float = 1.0,
-                    key_prefix: str | None = None) -> Dict[str, List[float]]:
+                    key_prefix: str | None = None,
+                    probe_names=None) -> Dict[str, List[float]]:
         """Per-image metric values for a (N, H, W, C) batch pair."""
         im_a = jnp.asarray(im_a, jnp.float32)
         im_ref = jnp.asarray(im_ref, jnp.float32)
         out: Dict[str, List[float]] = {}
         for m in self.metrics:
+            if m == "FR_rank":
+                if probe_names is None:
+                    raise ValueError("Need a probe ID to evaluate face "
+                                     "recognition performance.")
+                ranks = self.face_recognizer.fr_rank(
+                    probes=np.asarray(im_a), probe_ids=list(probe_names))
+                key = (f"{key_prefix}{self.delimeter}{m}"
+                       if key_prefix else m)
+                out[key] = [float(r) for r in ranks]
+                continue
             if m == "PSNR":
                 vals = [float(psnr(im_a[i], im_ref[i], max_value))
                         for i in range(im_a.shape[0])]

@@ -98,3 +98,36 @@ def test_select_metadata_by_keys(rng):
     assert sel.shape == (2, 2)
     np.testing.assert_allclose(sel[:, 0], mat[:, 0])
     np.testing.assert_allclose(sel[:, 1], mat[:, 2])
+
+
+def test_run_forensic_captures_attention(rng):
+    """run_forensic parity (base_architecture.py:522-530): meta-attention
+    layers expose their per-block attention vectors."""
+    h = get_model("qrcan")(scale=2, metadata=["qpi"], n_feats=16,
+                           n_resgroups=1, n_resblocks=2)
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 8, 8, 3)).astype(np.float32),
+             "metadata": rng.random((1, 1)).astype(np.float32)}
+    out, forensic = h.run_forensic(state, batch)
+    assert np.asarray(out).shape == (1, 16, 16, 3)
+    att_keys = [k for k in forensic if k.endswith("attention")]
+    assert len(att_keys) >= 2  # QCALayer + ParaCALayer per block
+    for k in att_keys:
+        v = forensic[k]
+        assert v.shape[-1] == 16
+        assert (v >= 0).all() and (v <= 1).all()
+
+
+def test_net_forensic_interface(tmp_path, rng):
+    from rumpy_tpu.interface import SISRInterface
+    iface = SISRInterface(
+        model_loc=str(tmp_path), experiment="fx", mode="train",
+        no_directories=True, scale=2,
+        new_params={"name": "qrcan", "internal_params": {
+            "scale": 2, "metadata": ["qpi"], "n_feats": 16,
+            "n_resgroups": 1, "n_resblocks": 1}})
+    img, forensic = iface.net_forensic(
+        rng.random((8, 8, 3)).astype(np.float32),
+        metadata=rng.random((1, 1)).astype(np.float32))
+    assert img.shape == (1, 16, 16, 3)
+    assert any(k.endswith("attention") for k in forensic)
