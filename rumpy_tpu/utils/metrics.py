@@ -173,11 +173,14 @@ class Metrics:
                 out[key] = [float(r) for r in ranks]
                 continue
             if m == "PSNR":
-                vals = [float(psnr(im_a[i], im_ref[i], max_value))
-                        for i in range(im_a.shape[0])]
+                # vmap over the batch: one device round-trip, not N
+                vals = np.asarray(jax.vmap(
+                    lambda a, b: psnr(a, b, max_value))(im_a, im_ref)
+                ).tolist()
             elif m == "SSIM":
-                vals = [float(ssim(im_a[i], im_ref[i], max_value))
-                        for i in range(im_a.shape[0])]
+                vals = np.asarray(jax.vmap(
+                    lambda a, b: ssim(a, b, max_value))(im_a, im_ref)
+                ).tolist()
             elif m == "LPIPS" and self.lpips is not None:
                 vals = [float(v) for v in
                         np.asarray(self.lpips(im_a / max_value,

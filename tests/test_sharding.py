@@ -76,3 +76,68 @@ def test_local_batch_size(mesh):
     assert mesh_mod.local_batch_size(mesh, 32) == 4
     with pytest.raises(ValueError):
         mesh_mod.local_batch_size(mesh, 12)
+
+
+def test_halo_exchange_matches_unsharded():
+    """Spatially sharded conv forward (halo exchange over the mesh) is
+    bit-equal to the unsharded forward when halo covers the receptive
+    field."""
+    import jax
+    import jax.numpy as jnp
+    from rumpy_tpu.parallel.mesh import get_mesh
+    from rumpy_tpu.parallel.spatial import spatial_sharded_forward
+    from rumpy_tpu.models.common import pixel_shuffle
+
+    mesh = get_mesh()  # all 8 virtual devices on the data axis
+    rng = np.random.default_rng(0)
+    # a small conv "network": two 3x3 convs (receptive radius 2) + x2
+    # pixel-shuffle, fixed weights
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, 8)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 8, 12)) * 0.1, jnp.float32)
+
+    def forward(x):
+        y = jax.lax.conv_general_dilated(
+            x, k1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(
+            y, k2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return pixel_shuffle(y, 2)
+
+    img = jnp.asarray(rng.random((1, 64, 16, 3)), jnp.float32)
+    # contract: result == crop(forward(reflect_pad(image, halo)))
+    halo = 4
+    padded = jnp.pad(img, ((0, 0), (halo, halo), (0, 0), (0, 0)),
+                     mode="reflect")
+    ref = forward(padded)[:, halo * 2:-halo * 2]
+    out = spatial_sharded_forward(forward, img, scale=2, mesh=mesh,
+                                  halo=halo)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_halo_exchange_non_divisible_height():
+    import jax.numpy as jnp
+    import jax
+    from rumpy_tpu.parallel.mesh import get_mesh
+    from rumpy_tpu.parallel.spatial import spatial_sharded_forward
+
+    mesh = get_mesh()
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 3)) * 0.2, jnp.float32)
+
+    def forward(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    img = jnp.asarray(rng.random((2, 61, 8, 3)), jnp.float32)  # 61 % 8 != 0
+    halo = 2
+    # pad to shard-divisible height exactly as the implementation does,
+    # then apply the reflect-halo contract
+    pimg = jnp.pad(img, ((0, 0), (0, 3), (0, 0), (0, 0)), mode="reflect")
+    padded = jnp.pad(pimg, ((0, 0), (halo, halo), (0, 0), (0, 0)),
+                     mode="reflect")
+    ref = forward(padded)[:, halo:-halo][:, :61]
+    out = spatial_sharded_forward(forward, img, scale=1, mesh=mesh,
+                                  halo=halo)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
