@@ -66,6 +66,9 @@ class SuperResImages:
                  scale: int = 4,
                  metadata_file: Optional[str] = None,
                  metadata: Optional[Sequence[str]] = None,
+                 attributes_loc: Optional[str] = None,
+                 data_attributes="all",
+                 attribute_amplification=None,
                  metadata_normalize=True,
                  qpi_selection=None,
                  ignore_degradation_location: bool = False,
@@ -139,6 +142,19 @@ class SuperResImages:
             # QPI filtering may drop images
             kept = set(self.metadata_map.keys())
             self.lr_files = [f for f in files if os.path.basename(f) in kept]
+        elif attributes_loc is not None:
+            self.metadata_map = {os.path.basename(f): np.array([], np.float32)
+                                 for f in self.lr_files}
+        if attributes_loc is not None:
+            # celeba facial-attribute merge (data_handler.py:141-146):
+            # attribute keys prepend the degradation keys
+            from rumpy_tpu.data.metadata import read_celeba_attributes
+            self.metadata_map, attr_keys = read_celeba_attributes(
+                attributes_loc, self.metadata_map,
+                selected_metadata=data_attributes,
+                attribute_amplification=attribute_amplification)
+            self.metadata_keys = [f"celeba-{k.lower()}"
+                                  for k in attr_keys] + self.metadata_keys
 
     def __len__(self) -> int:
         return len(self.lr_files)

@@ -78,6 +78,39 @@ def read_augmentation_list(metadata_file: Optional[str],
     return out, keys
 
 
+def read_celeba_attributes(attributes_loc: str,
+                           image_dict: Dict[str, np.ndarray],
+                           selected_metadata="all",
+                           attribute_amplification=None
+                           ) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Merge celeba facial attributes into an image metadata dict
+    (data_handler.py:20-58): the list_attr_celeba.txt table (-1/1) is
+    clamped to 0/1 (or amplified to -2/2), optionally restricted to
+    selected columns (Young->age, Male->gender aliases), and prepended to
+    each image's metadata vector. Image names match on the celeba stem
+    (`NNNNNN.jpg`)."""
+    celeb = pd.read_csv(attributes_loc, skiprows=1, sep=r"\s+")
+    if attribute_amplification is not None:
+        celeb[celeb < 0] = -2
+        celeb[celeb > 0] = 2
+    else:
+        celeb[celeb < 0] = 0
+    if selected_metadata != "all":
+        if "age" in selected_metadata:
+            celeb.rename(columns={"Young": "age"}, inplace=True)
+        if "gender" in selected_metadata:
+            celeb.rename(columns={"Male": "gender"}, inplace=True)
+        celeb = celeb[list(selected_metadata)]
+    final_keys = list(celeb.columns)
+    out = {}
+    for key in sorted(image_dict):
+        stem = key.split("_")[0].split(".")[0] + ".jpg"
+        added = [float(celeb.loc[stem][k]) for k in final_keys]
+        out[key] = np.concatenate(
+            [np.asarray(added, np.float32), image_dict[key]])
+    return out, final_keys
+
+
 def select_metadata(vector: np.ndarray, keys: Sequence[str],
                     requested: Sequence[str]) -> np.ndarray:
     """Select metadata entries whose key matches any requested key

@@ -139,3 +139,41 @@ def test_early_stopping(tmp_path, tiny_dataset):
     handler = TrainingHandler(cfg, verbose=False)
     stats = handler.run_experiment()
     assert len(stats) <= 3  # stopped long before 50
+
+
+def test_celeba_attribute_merge(tmp_path, rng):
+    """Celeba facial attributes prepend the metadata vector
+    (data_handler.py:20-58, :141-146)."""
+    from PIL import Image
+    from rumpy_tpu.data.datasets import SuperResImages
+
+    lr_d = tmp_path / "lr"
+    hr_d = tmp_path / "hr"
+    lr_d.mkdir(), hr_d.mkdir()
+    for i in range(3):
+        arr = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(hr_d / f"{i:06d}.png")
+        Image.fromarray(arr[::2, ::2]).save(lr_d / f"{i:06d}.png")
+    # list_attr_celeba.txt format: count line, header line, rows
+    attr = tmp_path / "list_attr_celeba.txt"
+    attr.write_text(
+        "3\nMale Young Smiling\n"
+        "000000.jpg 1 -1 1\n"
+        "000001.jpg -1 1 -1\n"
+        "000002.jpg 1 1 1\n")
+    ds = SuperResImages(lr_dir=str(lr_d), hr_dir=str(hr_d), scale=2,
+                        attributes_loc=str(attr),
+                        data_attributes=["gender", "age"])
+    assert ds.metadata_keys[:2] == ["celeba-gender", "celeba-age"]
+    item = ds[0]
+    assert item["metadata"][:2].tolist() == [1.0, 0.0]  # Male=1, Young=-1->0
+    item2 = ds[1]
+    assert item2["metadata"][:2].tolist() == [0.0, 1.0]
+
+    # amplification mode: -1 -> -2, 1 -> 2
+    ds2 = SuperResImages(lr_dir=str(lr_d), hr_dir=str(hr_d), scale=2,
+                         attributes_loc=str(attr),
+                         data_attributes=["gender"],
+                         attribute_amplification=True)
+    assert ds2[0]["metadata"][0] == 2.0
+    assert ds2[1]["metadata"][0] == -2.0
