@@ -31,7 +31,7 @@ def main():
     from rumpy_tpu.degradations.pipeline import ImagePipeline
     from rumpy_tpu.registry import get_model
 
-    batch = 16
+    batch = 32
     lr_patch = 48
     scale = 4
     hr_patch = lr_patch * scale  # 192
@@ -59,16 +59,25 @@ def main():
     hr = jnp.asarray(np.random.default_rng(0).random(
         (batch, hr_patch, hr_patch, 3)).astype(np.float32))
 
-    # warmup / compile
-    state, losses = handler._train_step(state, {"hr": hr})
-    jax.block_until_ready(losses["train-loss"])
-
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    # warmup / compile. NOTE: synchronization is a HOST FETCH of the
+    # loss (float(...)), not block_until_ready — under the remote-TPU
+    # tunnel block_until_ready returns before execution completes, which
+    # silently times dispatch instead of compute.
+    for _ in range(3):
         state, losses = handler._train_step(state, {"hr": hr})
-    jax.block_until_ready(losses["train-loss"])
-    elapsed = time.perf_counter() - t0
+    float(losses["train-loss"])
+
+    # best of 3 windows — robust to tunnel/dispatch jitter
+    n_steps = 20
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, losses = handler._train_step(state, {"hr": hr})
+        float(losses["train-loss"])  # forces the whole window
+        window = time.perf_counter() - t0
+        best = window if best is None else min(best, window)
+    elapsed = best
 
     steps_per_sec = n_steps / elapsed
     mp_per_sec = steps_per_sec * batch * hr_patch * hr_patch / 1e6
