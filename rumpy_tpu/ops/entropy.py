@@ -54,8 +54,9 @@ def local_entropy(gray_u8: jnp.ndarray, region: int = 10,
 
 def local_entropy_best(gray_u8: jnp.ndarray, region: int = 10,
                        levels: int = 64) -> jnp.ndarray:
-    """Dispatch to the Pallas histogram kernel on TPU (2.3x the XLA
-    one-hot path on v5e), XLA elsewhere."""
+    """Dispatch to the Pallas histogram kernel on TPU (~13x the XLA
+    one-hot path on v5e: 2.9ms vs 37.6ms for a 512x512 image, host-fetch
+    synchronized), XLA elsewhere."""
     if jax.default_backend() == "tpu" or "axon" in jax.default_backend():
         from rumpy_tpu.ops.pallas.entropy_kernel import local_entropy_pallas
         return local_entropy_pallas(
