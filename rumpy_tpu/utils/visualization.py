@@ -67,3 +67,62 @@ def interpret_sisr_images(images: Dict[str, np.ndarray], out_path: str,
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def compare_training_curves(experiment_dirs: Dict[str, str], out_path: str,
+                            metric: str = "val-PSNR") -> str:
+    """Overlay one metric's per-epoch curve from several experiments'
+    summary.csv files (visualization.py:195+ training-curve comparison)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from rumpy_tpu.utils.stats import load_statistics
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for label, log_dir in experiment_dirs.items():
+        stats = load_statistics(log_dir)
+        if stats is None or metric not in stats.columns:
+            continue
+        ax.plot(stats.index, stats[metric], label=label)
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel(metric)
+    ax.grid(True)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def crop_zoom_figure(images: Dict[str, np.ndarray], crop_box, out_path: str,
+                     colorspace: str = "rgb") -> str:
+    """Per-model panels with a highlighted crop region and a zoomed inset
+    below it (the reference's crop-zoom comparison figures).
+
+    :param crop_box: (top, left, height, width) in image coordinates.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.patches as patches
+    import matplotlib.pyplot as plt
+
+    top, left, ch, cw = crop_box
+    n = len(images)
+    fig, axes = plt.subplots(2, n, figsize=(4 * n, 8), squeeze=False)
+    for i, (name, img) in enumerate(images.items()):
+        rgb = to_uint8_rgb(img, colorspace)
+        ax = axes[0][i]
+        ax.imshow(rgb)
+        ax.add_patch(patches.Rectangle((left, top), cw, ch, linewidth=2,
+                                       edgecolor="red", facecolor="none"))
+        ax.set_title(name, fontsize=10)
+        ax.axis("off")
+        zoom = rgb[top:top + ch, left:left + cw]
+        axz = axes[1][i]
+        axz.imshow(zoom, interpolation="nearest")
+        axz.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

@@ -2,6 +2,7 @@
 gate, feature extractor gate."""
 
 import json
+import os
 import threading
 import urllib.request
 
@@ -143,3 +144,26 @@ def test_face_aligner(rng):
     aligned = FaceAligner(output_size=(32, 32)).align(
         img, [(20.0, 25.0), (44.0, 25.0)])
     assert aligned.shape == (32, 32, 3)
+
+
+def test_compare_training_curves(tmp_path):
+    import pandas as pd
+    from rumpy_tpu.utils.visualization import compare_training_curves
+    for name, base in (("a", 30.0), ("b", 31.0)):
+        d = tmp_path / name
+        d.mkdir()
+        pd.DataFrame({"val-PSNR": [base, base + 0.5, base + 0.8]}).to_csv(
+            d / "summary.csv", index_label="epoch")
+    out = compare_training_curves({"exp_a": str(tmp_path / "a"),
+                                   "exp_b": str(tmp_path / "b")},
+                                  str(tmp_path / "curves.pdf"))
+    assert os.path.exists(out)
+
+
+def test_crop_zoom_figure(tmp_path, rng):
+    from rumpy_tpu.utils.visualization import crop_zoom_figure
+    imgs = {"bicubic": rng.random((32, 32, 3)).astype(np.float32),
+            "rcan": rng.random((32, 32, 3)).astype(np.float32)}
+    out = crop_zoom_figure(imgs, (8, 8, 12, 12),
+                           str(tmp_path / "zoom.pdf"))
+    assert os.path.exists(out)
