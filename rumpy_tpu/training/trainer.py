@@ -138,6 +138,15 @@ class TrainingHandler:
                     experiment=config.get("experiment") or "experiment")
                 self.tracker["hparams"] = config.as_plain() \
                     if hasattr(config, "as_plain") else dict(config)
+                # metric replay on resume (base_handler.py:325-329): feed
+                # previously-logged epochs back into the new Aim run
+                if self.model.model_epoch > 0 and self.model.logs_dir:
+                    prior = stats_mod.load_statistics(self.model.logs_dir)
+                    if prior is not None:
+                        for ep, row in prior.iterrows():
+                            for k, v in row.items():
+                                self.tracker.track(
+                                    float(v), name=k, epoch=int(ep))
             except ImportError:
                 print("aim not installed; experiment tracking disabled")
 
