@@ -52,7 +52,14 @@ def convert_by_order(torch_state: "Dict[str, Any]", flax_params):
         name, tensor = torch_items[ti]
         arr = _torch_to_numpy(tensor)
         leaf_shape = tuple(leaf.shape)
-        if arr.ndim == 4:  # conv OIHW -> HWIO
+        if arr.ndim == 5:  # conv3d OIDHW -> DHWIO
+            conv = arr.transpose(2, 3, 4, 1, 0)
+            if conv.shape != leaf_shape:
+                raise ValueError(
+                    f"shape mismatch at {path}: torch {name} {conv.shape} "
+                    f"vs flax {leaf_shape}")
+            new_leaves[path] = conv
+        elif arr.ndim == 4:  # conv OIHW -> HWIO
             conv = arr.transpose(2, 3, 1, 0)
             if conv.shape != leaf_shape:
                 raise ValueError(

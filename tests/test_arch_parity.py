@@ -137,3 +137,71 @@ def test_rcan_x4_forward_parity(ref_arch, rng):
     h = get_model("rcan")(scale=4, n_resblocks=1, n_resgroups=1, n_feats=16)
     x = rng.random((1, 3, 8, 8)).astype(np.float32)
     _compare(net, h, x)
+
+
+def test_han_forward_parity(ref_arch, rng):
+    arch, _, torch = ref_arch
+    from rumpy_tpu.registry import get_model
+    # the reference HAN's post-LAM conv is hard-wired for 10 resgroups
+    # (advanced/architectures.py: conv(n_feats*11, n_feats)), so parity
+    # must use 10 groups — kept tiny via n_feats/n_resblocks
+    net = arch.HAN(scale=2, n_resblocks=1, n_resgroups=10, n_feats=16,
+                   reduction=4)
+    h = get_model("han")(scale=2, n_resblocks=1, n_resgroups=10,
+                         n_feats=16, reduction=4)
+    x = rng.random((1, 3, 12, 12)).astype(np.float32)
+
+    # torch registers csa/la before last_conv; flax creation order is
+    # head, body, la, last_conv, csa, last, tail — reorder the torch
+    # state dict to the flax order before the order-zip conversion
+    sd = net.state_dict()
+    ordered = {}
+    for k in sd:
+        if k.startswith("head") or k.startswith("body"):
+            ordered[k] = sd[k]
+    ordered["la.gamma"] = sd["la.gamma"]
+    for k in ("last_conv.weight", "last_conv.bias", "csa.gamma",
+              "csa.conv.weight", "csa.conv.bias", "last.weight",
+              "last.bias"):
+        ordered[k] = sd[k]
+    for k in sd:
+        if k.startswith("tail"):
+            ordered[k] = sd[k]
+
+    import types as _types
+    reordered_net = types.SimpleNamespace(
+        eval=net.eval, forward=net.forward,
+        state_dict=lambda: ordered)
+    _compare(reordered_net, h, x)
+
+
+def test_rrdbnet_forward_parity(ref_arch, rng):
+    """ESRGAN/Real-ESRGAN generator parity (non_blind_gan_models/
+    generators.py:122+)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_gan_generators",
+        f"{REF}/non_blind_gan_models/generators.py")
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    from rumpy_tpu.models.gan_models import RRDBNet
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    for scale, hw in ((4, 8), (2, 8), (1, 8)):
+        net = gen.RRDBNet(scale=scale, num_feat=16, num_block=2,
+                          num_grow_ch=8)
+        net.eval()
+        x = rng.random((1, 3, hw, hw)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x)).numpy()
+        mod = RRDBNet(scale=scale, nf=16, nb=2, gc=8)
+        variables = mod.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, hw, hw, 3)))
+        params = convert_by_order(net.state_dict(), variables["params"])
+        got = np.asarray(mod.apply({"params": params},
+                                   jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   atol=2e-4)
