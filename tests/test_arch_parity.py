@@ -205,3 +205,100 @@ def test_rrdbnet_forward_parity(ref_arch, rng):
                                    jnp.asarray(x.transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
                                    atol=2e-4)
+
+
+def _reorder_qrcan_state(sd):
+    """Sort the reference QRCAN state dict into flax creation order:
+    torch registers each module's attention nodes before its conv body
+    (QRCAB: final_body/pa/q before body; QResidualGroup & QRCAN:
+    final_body before body/head)."""
+    TOP = {"head": 0, "body": 1, "final_body": 2, "tail": 3}
+    GROUP = {"body": 0, "final_body": 1}
+    RCAB = {"body": 0, "final_body": 1, "pa_node": 2, "q_node": 3,
+            "dgfmb_node": 4, "da_node": 5, "sft_node": 6}
+
+    def sort_key(item):
+        idx, key = item
+        p = key.split(".")
+        if p[0] != "body":
+            return (TOP.get(p[0], 9), 0, 0, 0, 0, idx)
+        g = int(p[1])
+        if p[2] not in GROUP:
+            return (TOP["body"], g, 9, 0, 0, idx)
+        if p[2] == "final_body":
+            return (TOP["body"], g, 1, 0, 0, idx)
+        b = int(p[3])
+        return (TOP["body"], g, 0, b, RCAB.get(p[4], 9), idx)
+
+    items = sorted(enumerate(sd.keys()), key=sort_key)
+    return {k: sd[k] for _, k in items}
+
+
+def test_qrcan_forward_parity(ref_arch, rng):
+    """Flagship meta-attention architecture parity: QRCAN with channel
+    attention + q-layers + pixel attention, converted weights, outputs
+    bit-close (attention_manipulators/architectures.py:313-452)."""
+    arch, _, torch = ref_arch
+    import importlib.util
+    import types as _t
+
+    sys.modules["rumpy.SISR.models.advanced.architectures"] = arch
+    sys.modules["rumpy.SISR.models.advanced"].common = \
+        sys.modules["rumpy.SISR.models.advanced.common"]
+    for pkg in ["rumpy.SISR.models.SFTMD_variants",
+                "rumpy.SISR.models.non_blind_gan_models"]:
+        sys.modules.setdefault(pkg, _t.ModuleType(pkg))
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("rumpy.SISR.models.attention_manipulators.da_layer",
+         f"{REF}/attention_manipulators/da_layer.py")
+    load("rumpy.SISR.models.attention_manipulators.dgfmb_layer",
+         f"{REF}/attention_manipulators/dgfmb_layer.py")
+    load("rumpy.SISR.models.attention_manipulators.qsan_blocks",
+         f"{REF}/attention_manipulators/qsan_blocks.py")
+    load("rumpy.SISR.models.SFTMD_variants.architectures",
+         f"{REF}/SFTMD_variants/architectures.py")
+    load("rumpy.SISR.models.non_blind_gan_models.generators",
+         f"{REF}/non_blind_gan_models/generators.py")
+    qarch = load("ref_q_architectures",
+                 f"{REF}/attention_manipulators/architectures.py")
+
+    import jax
+    import jax.numpy as jnp
+    from rumpy_tpu.models.attention_manipulators import QRCAN
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    for style in ("modulate", "max_concat"):
+        # 'modulate' multiplies the attention vector elementwise by the
+        # metadata, so it needs an n_feats-sized vector (the handler's
+        # scale_qpi expansion); concat styles take any width
+        n_meta = 16 if style == "modulate" else 4
+        net = qarch.QRCAN(scale=2, n_resblocks=2, n_resgroups=2,
+                          n_feats=16, reduction=16, style=style,
+                          num_metadata=n_meta, include_q_layer=True,
+                          include_pixel_attention=True)
+        net.eval()
+        x = rng.random((1, 3, 8, 8)).astype(np.float32)
+        meta = rng.random((1, n_meta)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x),
+                      torch.from_numpy(meta[..., None, None])).numpy()
+        mod = QRCAN(scale=2, n_resblocks=2, n_resgroups=2, n_feats=16,
+                    reduction=16, style=style, num_metadata=n_meta,
+                    include_q_layer=True, include_pixel_attention=True)
+        variables = mod.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 8, 8, 3)),
+                             jnp.zeros((1, n_meta)))
+        params = convert_by_order(_reorder_qrcan_state(net.state_dict()),
+                                  variables["params"])
+        got = np.asarray(mod.apply({"params": params},
+                                   jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                   jnp.asarray(meta)))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   atol=2e-4, err_msg=style)
