@@ -35,6 +35,13 @@ def main(config, out_loc, model_loc, scale, save_im, gallery, time_models):
         "time_models": time_models}.items() if v is not None})
 
     models = cfg.get("models") or []
+    # accept both [[models]] tables and the reference net_eval style of
+    # plain experiment-name lists with a parallel load_epochs list
+    if models and not isinstance(models[0], dict):
+        epochs = list(cfg.get("load_epochs") or [])
+        models = [{"experiment": name,
+                   "epoch": epochs[i] if i < len(epochs) else "best"}
+                  for i, name in enumerate(models)]
     hub = EvalHub(
         models=[dict(m) for m in models],
         model_loc=cfg["model_loc"],

@@ -181,6 +181,13 @@ class TrainingHandler:
                 agg[k].append(v)
             t0 = time.perf_counter()
             compute_t += t0 - t1
+        if not agg:
+            n = len(self.train_data.dataset) \
+                if hasattr(self.train_data, "dataset") else "?"
+            raise RuntimeError(
+                f"Training loader produced no batches (dataset size {n}, "
+                f"batch_size {self.train_data.batch_size}, drop_last) — "
+                "reduce batch_size or add training data.")
         out = {k: float(np.mean(v)) for k, v in agg.items()}
         total = data_t + compute_t
         out["compute_efficiency"] = (compute_t / total * 100.0) if total else 0.0

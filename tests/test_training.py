@@ -177,3 +177,22 @@ def test_celeba_attribute_merge(tmp_path, rng):
                          attribute_amplification=True)
     assert ds2[0]["metadata"][0] == 2.0
     assert ds2[1]["metadata"][0] == -2.0
+
+
+def test_empty_train_loader_raises(tmp_path, tiny_dataset):
+    """A batch_size larger than the dataset (with drop_last) must fail
+    loudly, not silently NaN every epoch."""
+    import pytest
+    lr_dir, hr_dir = tiny_dataset
+    cfg = {
+        "experiment": "empty_loader", "no_directories": True,
+        "data": {"scale": 2,
+                 "training_sets": {"data_1": {
+                     "lr_dir": lr_dir, "hr_dir": hr_dir}}},
+        "model": {"name": "srcnn",
+                  "internal_params": {"scale": 2}},
+        "training": {"num_epochs": 1, "batch_size": 512},
+    }
+    handler = TrainingHandler(cfg)
+    with pytest.raises(RuntimeError, match="no batches"):
+        handler.train(0)
