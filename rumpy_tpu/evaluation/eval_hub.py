@@ -94,6 +94,16 @@ class EvalHub:
         """Bicubic (and optional Lanczos) upsampled references + timing."""
         h, w = lr_u8.shape[:2]
         out = {}
+        # steady-state timing: first call per shape jit-compiles
+        if ("bicubic", (h, w)) not in getattr(self, "_timed_shapes", set()):
+            np.asarray(resize_ops.pil_resize(
+                lr_u8, (h * self.scale, w * self.scale)))
+            if self.lanczos:
+                np.asarray(resize_ops.pil_resize(
+                    lr_u8, (h * self.scale, w * self.scale),
+                    filter="lanczos"))
+            if hasattr(self, "_timed_shapes"):
+                self._timed_shapes.add(("bicubic", (h, w)))
         t0 = time.perf_counter()
         bic = np.asarray(resize_ops.pil_resize(
             lr_u8, (h * self.scale, w * self.scale)))
@@ -114,6 +124,7 @@ class EvalHub:
 
     def full_image_protocol(self) -> pd.DataFrame:
         rows: Dict[str, Dict[str, float]] = defaultdict(dict)
+        self._timed_shapes: set = set()
         for batch in self.loader:
             lr = batch["lr"][0] if isinstance(batch["lr"], list) else batch["lr"][0]
             hr = batch["hr"][0] if isinstance(batch["hr"], list) else batch["hr"][0]
@@ -136,6 +147,15 @@ class EvalHub:
                 inp = lr
                 if getattr(iface.model, "im_input", "unmodified") == "interp":
                     inp = outputs["bicubic"]
+                if self.time_models:
+                    # warm-up forward so the runtime column reports
+                    # steady-state inference, not the one-off XLA compile
+                    # (the reference's per-image timing has no compile
+                    # step to worry about; on TPU it would dominate)
+                    key = (name, inp.shape[:2])
+                    if key not in self._timed_shapes:
+                        iface.net_run_and_process(inp[None], metadata=meta)
+                        self._timed_shapes.add(key)
                 rgb, _ycc, _loss, elapsed = iface.net_run_and_process(
                     inp[None], metadata=meta, timing=self.time_models)
                 outputs[name] = rgb[0]
