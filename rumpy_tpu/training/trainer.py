@@ -85,6 +85,12 @@ class TrainingHandler:
 
         # data
         handler = self.model.model
+        if data_cfg.get("online_degradations"):
+            # a global online-degradation pipeline implies HR-only
+            # training sets (LR is synthesized on-device inside the step)
+            for ds in (data_cfg.get("training_sets") or {}).values():
+                if ds.get("online_degradations") is None:
+                    ds["online_degradations"] = True
         self.train_data, self.eval_data = sisr_data_setup(
             data_cfg, scale=scale,
             batch_size=int(train_cfg.get("batch_size") or 8),
@@ -205,10 +211,21 @@ class TrainingHandler:
             lrs = batch["lr"] if isinstance(batch["lr"], list) else [batch["lr"][i] for i in range(len(batch["lr"]))]
             hrs = batch["hr"] if isinstance(batch["hr"], list) else [batch["hr"][i] for i in range(len(batch["hr"]))]
             metas = batch.get("metadata")
+            meta_keys = batch.get("metadata_keys")
+            if meta_keys and meta_keys[0] and isinstance(
+                    meta_keys[0], (list, tuple)):
+                meta_keys = meta_keys[0]
             for i, (lr, hr) in enumerate(zip(lrs, hrs)):
                 meta = None
                 if metas is not None and np.size(metas):
                     m = metas[i] if not isinstance(metas, list) else metas[i]
+                    m = np.asarray(m)
+                    # select the handler's requested keys from the full
+                    # CSV row (QModel.generate_channels semantics)
+                    selector = getattr(self.model.model, "select_metadata",
+                                       None)
+                    if selector is not None and meta_keys:
+                        m = selector(m[None], list(meta_keys))[0]
                     meta = np.asarray(m)[None]
                 rgb, ycc, _, _ = self.model.net_run_and_process(
                     lr[None] if lr.ndim == 3 else lr, metadata=meta)
