@@ -219,17 +219,29 @@ class SuperResImages:
         arr = _decode(lr_path)
 
         if self.online_degradations:
-            # HR-only mode: return an HR patch; LR synthesized on device.
-            hr = arr
-            if self.crop is not None:
-                cs = self.crop * self.scale
-                top = int(self._rng.integers(0, max(1, hr.shape[0] - cs + 1)))
-                left = int(self._rng.integers(0, max(1, hr.shape[1] - cs + 1)))
-                hr = hr[top:top + cs, left:left + cs]
-            hr_f = self._colorspace_convert(hr)
-            if self.augmentations:
-                hr_f, = self._augment(hr_f)
-            return {"hr": hr_f.astype(np.float32), "tag": tag,
+            # HR-only mode: return HR patch(es); LR synthesized on device.
+            # crop_count > 1 yields a (P, cs, cs, C) stack for contrastive
+            # query/key views degraded with shared per-image kernels.
+            def one_patch():
+                hr = arr
+                if self.crop is not None:
+                    cs = self.crop * self.scale
+                    top = int(self._rng.integers(
+                        0, max(1, hr.shape[0] - cs + 1)))
+                    left = int(self._rng.integers(
+                        0, max(1, hr.shape[1] - cs + 1)))
+                    hr = hr[top:top + cs, left:left + cs]
+                hr_f = self._colorspace_convert(hr)
+                if self.augmentations:
+                    hr_f, = self._augment(hr_f)
+                return hr_f.astype(np.float32)
+
+            if self.crop is not None and self.crop_count > 1:
+                hr_out = np.stack([one_patch()
+                                   for _ in range(self.crop_count)])
+            else:
+                hr_out = one_patch()
+            return {"hr": hr_out, "tag": tag,
                     "metadata": np.array([], np.float32),
                     "metadata_keys": []}
 

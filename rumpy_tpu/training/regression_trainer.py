@@ -48,8 +48,18 @@ class RegressionTrainingHandler(TrainingHandler):
         self._mags: List[int] = []
         self._num_classes = 0
         ds = self._first_dataset()
-        if ds is not None and ds.metadata_keys:
-            std_keys = cl.register_metadata(ds.metadata_keys)
+        meta_keys = list(ds.metadata_keys) if (
+            ds is not None and ds.metadata_keys) else []
+        if not meta_keys and self.online_pipeline is not None:
+            # online mode: labelling keys come from the degradation
+            # pipeline itself (degrade a dummy batch to enumerate them)
+            import jax
+            import jax.numpy as jnp
+            _, meta = self.online_pipeline.degrade_batch(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+            _, meta_keys = self.online_pipeline.metadata_matrix(meta)
+        if meta_keys:
+            std_keys = cl.register_metadata(meta_keys)
             self._m_map = {k: i for i, k in enumerate(std_keys)}
             self._valid, self._mags, self._num_classes = cl.partition_metadata(
                 self._m_map, self._selected_metadata,
@@ -97,6 +107,35 @@ class RegressionTrainingHandler(TrainingHandler):
 
     # ------------------------------------------------------------------
 
+    def _degrade_views(self, batch, epoch: int, step: int
+                       ) -> Dict[str, Any]:
+        """On-device degradation of contrastive views: every crop slot of
+        an image is degraded with the SAME per-image kernel/noise draw
+        (same RNG key across slots -> identical degradation samples), so
+        query/key pairs share a degradation class — the construction the
+        reference performed per-image on CPU workers."""
+        import jax
+        import jax.numpy as jnp
+        hr = np.asarray(batch["hr"], np.float32)
+        if hr.ndim == 4:
+            hr = hr[:, None]
+        n, p = hr.shape[:2]
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), epoch), step)
+        views = []
+        mat = None
+        for s in range(p):
+            lr_s, meta = self.online_pipeline.degrade_batch(
+                key, jnp.asarray(hr[:, s]))
+            views.append(np.asarray(lr_s))
+            if mat is None:
+                m, _ = self.online_pipeline.metadata_matrix(meta)
+                mat = np.asarray(m, np.float32)
+        out = dict(batch)
+        out["lr"] = np.stack(views, axis=1)  # (N, P, h, w, C)
+        out["metadata"] = mat
+        return out
+
     def _assemble_contrastive_batch(self, batch) -> Dict[str, Any]:
         """crops (N, P+1, h, w, C) -> query/key views + labels/vectors."""
         crops = batch["lr"]
@@ -126,9 +165,13 @@ class RegressionTrainingHandler(TrainingHandler):
         agg: Dict[str, List[float]] = defaultdict(list)
         data_t = compute_t = 0.0
         t0 = time.perf_counter()
+        step_counter = 0
         for batch in self.train_data:
             t1 = time.perf_counter()
             data_t += t1 - t0
+            if "lr" not in batch and self.online_pipeline is not None:
+                batch = self._degrade_views(batch, epoch, step_counter)
+                step_counter += 1
             if getattr(handler, "task", None) == "regression" and \
                     batch["lr"].ndim == 5:
                 db = self._assemble_contrastive_batch(batch)

@@ -86,6 +86,45 @@ def test_weakcon_regression_training(tmp_path, degraded_dataset):
     assert np.isfinite(stats[0]["train-loss"])
 
 
+def test_supmoco_online_degradation_training(tmp_path):
+    """Online mode: HR-only training set; contrastive views are degraded
+    ON DEVICE with shared per-image kernels (reference ran the pipeline
+    per-crop inside DataLoader workers, data_handler.py:498-504)."""
+    import os
+    from PIL import Image
+    from rumpy_tpu.training.regression_trainer import \
+        RegressionTrainingHandler
+    hr_dir = tmp_path / "hr"
+    os.makedirs(hr_dir)
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                        ).save(hr_dir / f"im{i}.png")
+    cfg = to_none_dict({
+        "experiment": "supmoco_online",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"task_type": "regression", "scale": 2, "crop": 16,
+                 "dataloader_threads": 1,
+                 "online_degradations": {
+                     "pipeline": [["realesrganblur", "b"],
+                                  ["downsample", "d"],
+                                  ["realesrgannoise", "n"]],
+                     "deg_configs": {
+                         "b": {"kernel_range": ["iso", "aniso"],
+                               "kernel_size": 9},
+                         "d": {"scale": 2},
+                         "n": {"gaussian_noise_sigma_range": (1, 30)}}},
+                 "training_sets": {"data_1": {"hr_dir": str(hr_dir)}}},
+        "model": {"name": "supmoco", "internal_params":
+                  {"K": 8, "positives_per_class": 2, "dim": 64}},
+        "training": {"num_epochs": 1, "batch_size": 2, "seed": 0},
+    })
+    h = RegressionTrainingHandler(cfg, verbose=False)
+    assert h._num_classes > 0  # labelling keys enumerated from pipeline
+    stats = h.run_experiment()
+    assert np.isfinite(stats[0]["train-loss"])
+
+
 def test_cli_routes_regression(tmp_path, degraded_dataset):
     from click.testing import CliRunner
     from rumpy_tpu.cli.train_sisr import main
