@@ -121,6 +121,44 @@ class EDSRHandler(BaseHandler):
                     res_scale=res_scale, dtype=self.dtype)
 
 
+@register_model("edsrmd")
+class EDSRMDHandler(BaseHandler):
+    """SRMD-style EDSR: degradation-metadata vector tiled to per-pixel
+    maps and channel-concatenated with the LR input (reference
+    advanced/handlers.py:137-164 `EDSRMDHandler`)."""
+    loss_type = "l1"
+    colorspace = "rgb"
+    im_input = "unmodified"
+    uses_metadata = True
+
+    def __init__(self, num_metadata=15, num_features=64, num_blocks=16,
+                 res_scale=0.1, **kwargs):
+        self.num_metadata = num_metadata
+        super().__init__(num_features=num_features, num_blocks=num_blocks,
+                         res_scale=res_scale, **kwargs)
+
+    def build_module(self, num_features, num_blocks, res_scale):
+        return EDSR(scale=self.scale,
+                    in_features=self.in_features + self.num_metadata,
+                    net_features=num_features, num_blocks=num_blocks,
+                    res_scale=res_scale, dtype=self.dtype)
+
+    def example_inputs(self, batch: int = 1, size: int = 16):
+        return (jnp.zeros((batch, size, size,
+                           self.in_features + self.num_metadata),
+                          jnp.float32),)
+
+    def apply(self, params, batch, train=False, rng=None, extra=None):
+        lr = batch["lr"]
+        meta = batch["metadata"]
+        n, h, w, _ = lr.shape
+        maps = jnp.broadcast_to(meta[:, None, None, :],
+                                (n, h, w, meta.shape[-1]))
+        x = jnp.concatenate([lr, maps.astype(lr.dtype)], axis=-1)
+        sr = self.module.apply({"params": params}, x)
+        return sr, {}, extra
+
+
 @register_model("rcan")
 class RCANHandler(BaseHandler):
     loss_type = "l1"

@@ -117,6 +117,10 @@ def _build_generator(name: str, scale: int, num_metadata: int, dtype,
         from rumpy_tpu.models.han_elan import QELAN
         return QELAN(scale=scale, num_metadata=num_metadata, dtype=dtype,
                      **gen_kwargs)
+    if name in ("qsan", "san"):
+        from rumpy_tpu.models.san import SAN
+        return SAN(scale=scale, num_metadata=num_metadata, dtype=dtype,
+                   **gen_kwargs)
     if name in ("qrealesrgan", "qrrdbnet", "realesrgan"):
         from rumpy_tpu.models.gan_models import QRRDBNet
         return QRRDBNet(scale=scale, num_metadata=num_metadata, dtype=dtype,
@@ -400,6 +404,11 @@ class ContrastiveBlindQHANHandler(ContrastiveBlindSRHandler):
 @register_model("contrastiveblindqelan")
 class ContrastiveBlindQELANHandler(ContrastiveBlindSRHandler):
     generator_name = "qelan"
+
+
+@register_model("contrastiveblindqsan")
+class ContrastiveBlindQSANHandler(ContrastiveBlindSRHandler):
+    generator_name = "qsan"
 
 
 @register_model("contrastiveblindqrealesrgan")

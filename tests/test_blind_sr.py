@@ -70,6 +70,15 @@ def test_joint_supmoco_pipeline(rng):
         np.asarray(state.extra["queue_labels"][:2]), [0, 1])
 
 
+def test_contrastive_blind_qsan(rng):
+    h = get_model("contrastiveblindqsan")(
+        scale=2, block_encoder_loading=True, encoder_dim=64,
+        n_feats=16, n_resgroups=1, n_resblocks=1)
+    state = h.init_state()
+    sr = h.run_eval(state, _batch(rng))
+    assert sr.shape == (2, 16, 16, 3)
+
+
 def test_reducer_and_embedding_types(rng):
     h = get_model("contrastiveblindqedsr")(
         scale=2, block_encoder_loading=True, embedding_type="q",

@@ -76,6 +76,17 @@ def test_srmd_metadata_concat(rng):
     assert sr.shape == (1, 16, 16, 3)
 
 
+def test_edsrmd_metadata_concat(rng):
+    h = get_model("edsrmd")(scale=2, num_metadata=4, num_features=16,
+                            num_blocks=2)
+    state = h.init_state()
+    batch = _batch(rng, n=1, size=8, scale=2, meta=4)
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (1, 16, 16, 3)
+    _, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     h = get_model("edsr")(scale=2, num_features=8, num_blocks=1)
     state = h.init_state()
