@@ -6,7 +6,9 @@ with base64-image HTTP routes consumed by the Electron frontend:
 /update_model, /test_page, plus a models.csv registry of selectable models.
 
 Flask is not available in this image, so the same route/JSON contract is
-served with the stdlib http.server — zero-dependency, same API:
+served with the stdlib http.server — zero-dependency, same API — and the
+Electron shell is replaced by a single static browser page (index.html,
+served at "/") that consumes the same routes:
 
   POST /super_resolve          {"image": <b64 png>, "metadata": "..."}
                                -> {"output": <b64 png>, "runtime": s}
@@ -112,7 +114,16 @@ def make_handler(server: ModelServer):
             pass
 
         def do_GET(self):
-            if self.path == "/test_page":
+            if self.path in ("/", "/index.html"):
+                page = os.path.join(os.path.dirname(__file__), "index.html")
+                with open(page, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/test_page":
                 self._json({"status": "rumpy_tpu model server alive",
                             "model": getattr(server, "current_model", None)})
             elif self.path == "/models":

@@ -99,6 +99,11 @@ def test_gui_server_routes(tmp_path, rng):
                 f"http://127.0.0.1:{port}/test_page") as r:
             assert json.load(r)["model"] == "gui_exp"
 
+        # browser frontend served at /
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "super_resolve" in page and "<html" in page
+
         img_b64 = server._encode_b64(rng.random((8, 8, 3)
                                                 ).astype(np.float32))
         req = urllib.request.Request(
