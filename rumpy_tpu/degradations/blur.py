@@ -39,7 +39,7 @@ class _BlurBase(DegradationOp):
         self.pca_encoder: Optional[pca_mod.PCAEncoder] = None
         if request_pca_kernels:
             if load_pca_matrix:
-                self.pca_encoder = pca_mod.PCAEncoder.load(load_pca_matrix)
+                self.pca_encoder = pca_mod.read_pca_matrix(load_pca_matrix)
             else:
                 self.pca_encoder = pca_mod.fit_kernel_pca(
                     self._pca_sample_fn(), batch_len=pca_batch_len,

@@ -48,9 +48,33 @@ class PCAEncoder:
     def load(path: str) -> "PCAEncoder":
         if path.endswith(".pth"):
             import torch  # host-side loader for reference-format matrices
-            return PCAEncoder(torch.load(path, map_location="cpu").float().numpy())
+            # reference stores (D, k) — e.g. (441, 10) — and encodes with
+            # flat @ matrix (srmd_gaussian_blur.py:297-313); our
+            # convention is (k, D) with flat @ matrix.T, so transpose.
+            mat = torch.load(path, map_location="cpu").float().numpy()
+            return PCAEncoder(mat.T)
         data = np.load(path)
         return PCAEncoder(data["matrix"])
+
+
+#: Packaged projection matrices converted from the reference's shipped
+#: ``shared_framework/configuration/*_pca_matrix.pth`` (441 = 21x21
+#: flattened blur kernels -> 10 / 100 components).
+_PACKAGED = {
+    "standard": "standard_blur_10_component_pca_matrix.npz",
+    "extended": "extended_blur_100_component_pca_matrix.npz",
+}
+
+
+def read_pca_matrix(name_or_path: str) -> PCAEncoder:
+    """Resolve 'standard' / 'extended' to the packaged matrices, else
+    treat as a path (reference: blur/__init__.py:18-36)."""
+    import os
+    if name_or_path in _PACKAGED:
+        here = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "config", _PACKAGED[name_or_path])
+        return PCAEncoder.load(here)
+    return PCAEncoder.load(name_or_path)
 
 
 def fit_kernel_pca(sample_fn, batch_len: int = 30000, k: int = 10,

@@ -93,6 +93,33 @@ def test_pca_kernel_metadata(jkey, rng):
     assert mat.shape == (2, len(keys))
 
 
+def test_packaged_pca_matrices(rng):
+    """The two reference-shipped PCA matrices are packaged (converted to
+    npz, transposed to (k, D)); encoding matches the reference's
+    flat @ (D, k) matmul semantics (srmd_gaussian_blur.py:297-313)."""
+    import os
+    from rumpy_tpu.degradations.pca import read_pca_matrix
+    enc = read_pca_matrix("standard")
+    assert enc.components == 10 and enc.matrix.shape == (10, 441)
+    flat = rng.random((3, 441)).astype(np.float32)
+    out = np.asarray(enc(jnp.asarray(flat)))
+    assert out.shape == (3, 10)
+    ext = read_pca_matrix("extended")
+    assert ext.components == 100
+
+    ref = ("/root/reference/rumpy/shared_framework/configuration/"
+           "standard_blur_10_component_pca_matrix.pth")
+    if os.path.isfile(ref):
+        import torch
+        m = torch.load(ref, map_location="cpu",
+                       weights_only=False).float().numpy()  # (441, 10)
+        np.testing.assert_allclose(out, flat @ m, rtol=1e-5, atol=1e-5)
+        # the .pth loader applies the same transpose
+        enc2 = read_pca_matrix(ref)
+        np.testing.assert_allclose(np.asarray(enc2(jnp.asarray(flat))),
+                                   out, rtol=1e-6)
+
+
 def test_jm_fallback_monotonic(rng):
     from rumpy_tpu.degradations.compression import JMCompress
     img = Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8))
