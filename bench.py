@@ -31,7 +31,10 @@ def main():
     from rumpy_tpu.degradations.pipeline import ImagePipeline
     from rumpy_tpu.registry import get_model
 
-    batch = 32
+    # batch 96 is the v5e sweet spot: ~27% more MP/s than batch 32 (XLA
+    # picks a better conv tiling; batch 128 spills HBM — ~8.5 GB of
+    # stored activations at 96 fits the 16 GB chip with headroom).
+    batch = 96
     lr_patch = 48
     scale = 4
     hr_patch = lr_patch * scale  # 192
