@@ -31,10 +31,12 @@ def main():
     from rumpy_tpu.degradations.pipeline import ImagePipeline
     from rumpy_tpu.registry import get_model
 
-    # batch 96 is the v5e sweet spot: ~27% more MP/s than batch 32 (XLA
-    # picks a better conv tiling; batch 128 spills HBM — ~8.5 GB of
-    # stored activations at 96 fits the 16 GB chip with headroom).
-    batch = 96
+    # Batch sweep on v5e (ms/step -> MP/s): 32:133->8.9, 64:308->7.7,
+    # 80:313->9.4, 96:314->11.3, 112:316->13.1, 120:317->13.9, 128:HBM
+    # spill. Step time is flat from 64-120 (XLA's conv tiling improves
+    # with the larger spatial M dim), so run at the largest batch that
+    # fits: 120 (~10.6 GB stored activations of 16 GB HBM).
+    batch = 120
     lr_patch = 48
     scale = 4
     hr_patch = lr_patch * scale  # 192
