@@ -196,14 +196,18 @@ class SISRInterface:
             out_y = self.model.run_eval(self.state, batch)
             out_ycc = jnp.concatenate([out_y, ycc[..., 1:]], axis=-1)
             out_rgb = jnp.clip(ycbcr_to_rgb(out_ycc, im_type="jpg"), 0.0, 1.0)
-        out_rgb.block_until_ready()
+        # Host-fetch inside the timed region: under the remote-TPU tunnel
+        # block_until_ready returns before execution completes and would
+        # silently time dispatch only (same fix as bench.py).
+        out_rgb = np.asarray(out_rgb)
         elapsed = time.perf_counter() - t0
+        out_ycc = np.asarray(out_ycc)
         s = out_rgb.shape[1] // lr.shape[1]
         out_rgb = out_rgb[:, :orig_h * s, :orig_w * s]
         out_ycc = out_ycc[:, :orig_h * s, :orig_w * s]
         if timing:
-            return np.asarray(out_rgb), np.asarray(out_ycc), None, elapsed
-        return np.asarray(out_rgb), np.asarray(out_ycc), None, None
+            return out_rgb, out_ycc, None, elapsed
+        return out_rgb, out_ycc, None, None
 
     def net_forensic(self, lr, metadata=None, **kwargs):
         """Forward + per-block diagnostic data (interface.py:126-131):

@@ -79,9 +79,16 @@ def _ensure(kind: str) -> None:
     for mod in modules:
         try:
             importlib.import_module(mod)
-        except ImportError:
-            # Families are allowed to be absent while the zoo is being built out.
-            pass
+        except ModuleNotFoundError as e:
+            # Tolerate only *external* optional dependencies (e.g. cv2).
+            # A missing/broken rumpy_tpu family module must fail loudly —
+            # a silent pass would quietly delist its models.
+            if (e.name or "").split(".")[0] == "rumpy_tpu":
+                raise
+            import warnings
+            warnings.warn(
+                f"skipping {mod}: optional dependency {e.name!r} not "
+                f"installed", stacklevel=2)
 
 
 def available_models() -> Dict[str, Any]:

@@ -136,8 +136,10 @@ class TrainingHandler:
         # Optional Aim experiment tracking (reference base_handler.py:182-204
         # gates on the aim import the same way).
         self.tracker = None
+        import jax as _jax
         if (train_cfg.get("logging") == "aim"
-                and not config.get("no_directories")):
+                and not config.get("no_directories")
+                and _jax.process_index() == 0):
             try:
                 import aim
                 self.tracker = aim.Run(

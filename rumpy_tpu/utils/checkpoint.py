@@ -41,6 +41,10 @@ _META_KEYS = ("model_name", "model_epoch", "handler_metadata")
 def save_checkpoint(path: str, payload: Dict[str, Any],
                     minimal: bool = False) -> None:
     import json
+    if jax.process_index() != 0:
+        # Multi-host pods: every host holds (addressable shards of) the
+        # same replicated state; only the coordinator writes to disk.
+        return
     payload = dict(payload)
     if minimal:
         payload.pop("optimizer", None)
@@ -85,9 +89,14 @@ def available_epochs(model_save_dir: str):
 
 
 def select_epoch(model_save_dir: str, which, summary_csv: Optional[str] = None,
-                 metric: str = "val-PSNR") -> int:
+                 metric: str = "val-PSNR",
+                 fallback: Optional[str] = None) -> int:
     """Resolve 'best' | 'last' | int to a concrete epoch number
-    (base_interface.py:86-108 semantics)."""
+    (base_interface.py:86-108 semantics).
+
+    'best' requires a readable summary.csv with a known metric column; an
+    ambiguous 'best' raises (the reference errors here too) unless the
+    caller passes an explicit ``fallback`` selector (e.g. 'last')."""
     if isinstance(which, int):
         return which
     eps = available_epochs(model_save_dir)
@@ -97,14 +106,26 @@ def select_epoch(model_save_dir: str, which, summary_csv: Optional[str] = None,
         return eps[-1]
     if which == "best":
         if summary_csv is None or not os.path.isfile(summary_csv):
-            return eps[-1]
+            if fallback is not None:
+                return select_epoch(model_save_dir, fallback)
+            raise FileNotFoundError(
+                f"'best' epoch requested but no summary.csv found at "
+                f"{summary_csv!r}; pass fallback='last' to accept the "
+                f"latest checkpoint instead")
         import pandas as pd
         df = pd.read_csv(summary_csv)
         if metric not in df.columns:
-            # Fall back to any known metric present, else last epoch.
+            # Fall back to any known metric present; if none, 'best' is
+            # ambiguous — refuse rather than silently pick an epoch.
             present = [m for m in metric_best_val if m in df.columns]
             if not present:
-                return eps[-1]
+                if fallback is not None:
+                    return select_epoch(model_save_dir, fallback)
+                raise ValueError(
+                    f"'best' epoch requested but {summary_csv} has no "
+                    f"known metric column (looked for {metric!r} and "
+                    f"{sorted(metric_best_val)}); pass fallback='last' "
+                    f"to accept the latest checkpoint")
             metric = present[0]
         direction = metric_best_val.get(metric, "max")
         col = df[metric]

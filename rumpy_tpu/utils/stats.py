@@ -21,6 +21,10 @@ def save_statistics(log_dir: str, stats: Dict[str, float],
     zero-backfilling metrics that appear mid-training
     (stats.py:66-83 + base_handler.py:353-404 backfill behavior)."""
     path = os.path.join(log_dir, filename)
+    import jax
+    if jax.process_index() != 0:
+        # Multi-host: only the coordinator appends to summary.csv.
+        return path
     os.makedirs(log_dir, exist_ok=True)
     row = pd.DataFrame([stats])
     if os.path.isfile(path):

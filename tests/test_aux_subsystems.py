@@ -172,3 +172,53 @@ def test_crop_zoom_figure(tmp_path, rng):
     out = crop_zoom_figure(imgs, (8, 8, 12, 12),
                            str(tmp_path / "zoom.pdf"))
     assert os.path.exists(out)
+
+
+def test_select_epoch_best_requires_summary(tmp_path):
+    """Ambiguous 'best' must raise, not silently pick the last epoch
+    (VERDICT r1 weak #6)."""
+    from rumpy_tpu.utils import checkpoint as ckpt
+    d = tmp_path / "saved_models"
+    d.mkdir()
+    for ep in (0, 1, 2):
+        (d / f"train_model_{ep}").write_bytes(b"x")
+    # no summary.csv at all
+    with pytest.raises(FileNotFoundError):
+        ckpt.select_epoch(str(d), "best", str(tmp_path / "missing.csv"))
+    # summary.csv present but no known metric column
+    bad = tmp_path / "summary.csv"
+    bad.write_text("epoch,unrelated\n0,1\n1,2\n")
+    with pytest.raises(ValueError):
+        ckpt.select_epoch(str(d), "best", str(bad))
+    # explicit fallback restores the old behavior on request
+    assert ckpt.select_epoch(str(d), "best", str(bad), fallback="last") == 2
+    assert ckpt.select_epoch(
+        str(d), "best", str(tmp_path / "missing.csv"), fallback="last") == 2
+    # a real metric column still resolves best normally
+    good = tmp_path / "good.csv"
+    good.write_text("epoch,val-PSNR\n0,20.0\n1,31.5\n2,29.0\n")
+    assert ckpt.select_epoch(str(d), "best", str(good)) == 1
+
+
+def test_registry_import_errors_loud(monkeypatch):
+    """A broken rumpy_tpu family module must fail loudly, not silently
+    delist its models; missing *external* optional deps only warn
+    (VERDICT r1 weak #3)."""
+    import warnings
+    from rumpy_tpu import registry
+
+    monkeypatch.setattr(registry, "_loaded",
+                        {"models": False, "tools": False})
+    monkeypatch.setattr(registry, "_MODEL_MODULES",
+                        ["rumpy_tpu.models.does_not_exist"])
+    with pytest.raises(ModuleNotFoundError):
+        registry._ensure("models")
+
+    monkeypatch.setattr(registry, "_loaded",
+                        {"models": False, "tools": False})
+    monkeypatch.setattr(registry, "_MODEL_MODULES",
+                        ["some_truly_optional_external_dep"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        registry._ensure("models")
+    assert any("optional dependency" in str(w.message) for w in caught)
