@@ -39,10 +39,11 @@ def read_augmentation_list(metadata_file: Optional[str],
         if attribute_skip and col in attribute_skip:
             aug.drop(col, axis=1, inplace=True)
             continue
-        if aug[col].dtype == object:
+        if (aug[col].dtype == object
+                or pd.api.types.is_string_dtype(aug[col].dtype)):
             aug[col] = aug[col].apply(json.loads)
             keys.extend([col.lower()] * len(aug[col].iloc[0]))
-        elif np.issubdtype(aug[col].dtype, np.number):
+        elif pd.api.types.is_numeric_dtype(aug[col].dtype):
             aug[col] = aug[col].astype(float)
             keys.append(col.lower())
             if col == "QPI" and force_qpi_range:

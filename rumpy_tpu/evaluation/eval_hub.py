@@ -46,7 +46,11 @@ class EvalHub:
                  gallery: bool = False,
                  lanczos_upsample: bool = False,
                  time_models: bool = False,
-                 no_image_comparison: bool = False):
+                 no_image_comparison: bool = False,
+                 lpips_weights: Optional[str] = None,
+                 fr_gallery: Optional[str] = None,
+                 fr_extractor: str = "lightcnn",
+                 fr_extractor_weights: Optional[str] = None):
         self.out_loc = out_loc
         self.scale = scale
         self.save_im = save_im
@@ -85,7 +89,55 @@ class EvalHub:
                     continue
             self.models[name] = iface
 
-        self.metric_hub = Metrics(list(metrics))
+        # Face-recognition profiling (standard_eval.py:488-531): gated on a
+        # gallery + a weight-loaded embedding extractor. Per-image FR_rank
+        # columns are computed here (features extracted once and reused for
+        # the final CMC/ROC report), so 'FR_rank' is stripped from the
+        # metric-hub list.
+        metrics = list(metrics)
+        self.face_recognizer = None
+        if fr_gallery or "FR_rank" in metrics:
+            from rumpy_tpu.models.feature_extractors import \
+                perceptual_loss_mechanism
+            from rumpy_tpu.utils.face_recognition import FaceRecognizer
+            if not fr_gallery:
+                raise KeyError("FR_rank requested but no fr_gallery "
+                               "configured (dir of <id>.png images or a "
+                               "features .npz)")
+            extractor = perceptual_loss_mechanism(
+                fr_extractor, weights=fr_extractor_weights)
+            self.face_recognizer = FaceRecognizer(extractor)
+            self._register_gallery(fr_gallery)
+            self._fr_feats: Dict[str, list] = defaultdict(list)
+            metrics = [m for m in metrics if m != "FR_rank"]
+
+        self.metric_hub = Metrics(metrics, lpips_weights=lpips_weights)
+
+    def _register_gallery(self, source: str) -> None:
+        """Gallery = a features .npz (reference load_gallery format:
+        out_stack/id_stack) or a directory of <identity>.png images."""
+        if source.endswith(".npz"):
+            g = np.load(source, allow_pickle=True)
+            self.face_recognizer.register_gallery(
+                features=g["out_stack"], gallery_ids=list(g["id_stack"]))
+            return
+        from PIL import Image
+        names = sorted(n for n in os.listdir(source)
+                       if n.lower().endswith((".png", ".jpg", ".jpeg")))
+        if not names:
+            raise FileNotFoundError(f"No gallery images in {source}")
+        ims, ids = [], []
+        shape = None
+        for n in names:
+            im = Image.open(os.path.join(source, n)).convert("RGB")
+            if shape is None:
+                shape = im.size
+            elif im.size != shape:
+                im = im.resize(shape, Image.BICUBIC)
+            ims.append(np.asarray(im, np.float32) / 255.0)
+            ids.append(os.path.splitext(n)[0])
+        self.face_recognizer.register_gallery(images=np.stack(ims),
+                                              gallery_ids=ids)
 
     # ------------------------------------------------------------------
 
@@ -147,6 +199,13 @@ class EvalHub:
                 inp = lr
                 if getattr(iface.model, "im_input", "unmodified") == "interp":
                     inp = outputs["bicubic"]
+                # narrow the full metadata matrix to the model's requested
+                # keys (reference generate_channels selection semantics)
+                model_meta = meta
+                selector = getattr(iface.model, "select_metadata", None)
+                if meta is not None and selector is not None:
+                    model_meta = selector(meta,
+                                          keys=self.dataset.metadata_keys)
                 if self.time_models:
                     # warm-up forward so the runtime column reports
                     # steady-state inference, not the one-off XLA compile
@@ -154,22 +213,35 @@ class EvalHub:
                     # step to worry about; on TPU it would dominate)
                     key = (name, inp.shape[:2])
                     if key not in self._timed_shapes:
-                        iface.net_run_and_process(inp[None], metadata=meta)
+                        iface.net_run_and_process(inp[None],
+                                                  metadata=model_meta)
                         self._timed_shapes.add(key)
                 rgb, _ycc, _loss, elapsed = iface.net_run_and_process(
-                    inp[None], metadata=meta, timing=self.time_models)
+                    inp[None], metadata=model_meta, timing=self.time_models)
                 outputs[name] = rgb[0]
                 if self.time_models and elapsed is not None:
                     rows[tag][f"{name}>runtime"] = elapsed
 
+            stem = os.path.splitext(tag)[0]
             for name, img in outputs.items():
                 if name.endswith(">runtime"):
                     continue
                 sr_y = self._y_channel(img)
                 res = self.metric_hub.run_metrics(sr_y[None], hr_y[None],
-                                                  max_value=1.0)
+                                                  max_value=1.0,
+                                                  rgb_a=img[None],
+                                                  rgb_ref=hr[None])
                 for metric, vals in res.items():
                     rows[tag][f"{name}>{metric}"] = vals[0]
+                if self.face_recognizer is not None:
+                    # extract once; reused for both the per-image rank
+                    # column and the final CMC/ROC report
+                    feats = self.face_recognizer._extract(
+                        np.clip(img, 0.0, 1.0)[None])
+                    rank = self.face_recognizer.fr_rank(
+                        features=feats, probe_ids=[stem])
+                    rows[tag][f"{name}>FR_rank"] = float(rank[0])
+                    self._fr_feats[name].append((stem, feats[0]))
                 if self.save_im:
                     safe_image_save(img, os.path.join(self.out_loc, name),
                                     tag)
@@ -184,7 +256,42 @@ class EvalHub:
                                  os.path.splitext(tag)[0] + "_comparison.pdf"),
                     captions=caps)
 
+        if self.face_recognizer is not None:
+            self.face_recognition_calculations()
         return self.manipulate_and_save_metrics(rows)
+
+    def face_recognition_calculations(self) -> str:
+        """CMC/ROC report files (standard_eval.py:488-531): per-model CMC
+        curves plotted + saved as cmc_fr_metrics.csv, AUC/EER as
+        extra_fr_metrics.csv, per-image ranks as individual_im_ranks.csv,
+        all under <out_loc>/fr_metrics/."""
+        from rumpy_tpu.utils.face_recognition import plot_cmc
+        fr_dir = os.path.join(self.out_loc, "fr_metrics")
+        os.makedirs(fr_dir, exist_ok=True)
+        cmc_plot_data, cmc_cols, extra_cols, rank_cols = {}, {}, {}, {}
+        for name, entries in self._fr_feats.items():
+            stems = [s for s, _ in entries]
+            feats = np.stack([f for _, f in entries])
+            pkg = self.face_recognizer.full_package(
+                features=feats, probe_ids=stems)
+            cmc_plot_data[name] = (pkg["CMC_x"], pkg["CMC_y"])
+            cmc_cols[name] = pd.Series(pkg["CMC_y"],
+                                       index=pd.Index(pkg["CMC_x"],
+                                                      name="Rank"))
+            extra_cols[name] = pd.Series([pkg["AUC"], pkg["EER"]],
+                                         index=pd.Index(["AUC", "EER"],
+                                                        name="Metric"))
+            rank_cols[name] = pd.Series(pkg["ranks"],
+                                        index=pd.Index(stems,
+                                                       name="Image_Name"))
+        plot_cmc(cmc_plot_data, save_loc=fr_dir)
+        pd.DataFrame(cmc_cols).to_csv(
+            os.path.join(fr_dir, "cmc_fr_metrics.csv"))
+        pd.DataFrame(extra_cols).to_csv(
+            os.path.join(fr_dir, "extra_fr_metrics.csv"))
+        pd.DataFrame(rank_cols).to_csv(
+            os.path.join(fr_dir, "individual_im_ranks.csv"))
+        return fr_dir
 
     def manipulate_and_save_metrics(self, rows) -> pd.DataFrame:
         df = pd.DataFrame.from_dict(rows, orient="index")

@@ -161,20 +161,25 @@ class SISRInterface:
 
     def net_run_and_process(self, lr=None, hr=None, metadata=None,
                             timing: bool = False,
-                            pad_multiple: Optional[int] = 8, **kwargs):
+                            pad_multiple: Optional[int] = None, **kwargs):
         """Eval forward with colorspace post-processing. `lr` is channel-last
         RGB float [0,1] (pre-interpolated for interp-input models).
         Returns (rgb, ycbcr) outputs, both clipped.
 
-        Variable-size eval (SURVEY.md §7 hard part 2): full images are
-        reflect-padded up to a `pad_multiple` bucket so XLA compiles one
-        program per bucket instead of one per image shape; the SR output
-        is cropped back before metrics."""
+        Variable-size eval (SURVEY.md §7 hard part 2): by default images
+        are only padded to the handler's declared ``size_multiple`` (1 for
+        most conv SR nets), so metric outputs are bit-identical to the
+        reference's unpadded forward. Passing an explicit `pad_multiple`
+        opts into shape bucketing (one compiled program per bucket instead
+        of one per image shape) at the cost of receptive-field-sized
+        border perturbations from the reflect pad."""
         import time
         lr = jnp.asarray(lr)
         if lr.ndim == 3:
             lr = lr[None]
         orig_h, orig_w = lr.shape[1:3]
+        if pad_multiple is None:
+            pad_multiple = getattr(self.model, "size_multiple", 1)
         if pad_multiple and pad_multiple > 1:
             ph = (-orig_h) % pad_multiple
             pw = (-orig_w) % pad_multiple

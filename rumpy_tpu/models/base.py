@@ -123,6 +123,9 @@ class BaseHandler:
     uses_metadata: bool = False
     # Channels the network consumes ('rgb' => 3, 'ycbcr'-Y-only => 1).
     colorspace: str = "rgb"
+    # Input spatial dims must divide this (e.g. pixel-unshuffle heads);
+    # the eval interface pads up to it and crops the SR output back.
+    size_multiple: int = 1
 
     def __init__(self, scale: int = 4, in_features: int = 3,
                  lr: float = 1e-4, optimizer_type: str = "adam",
