@@ -327,13 +327,13 @@ class FSSRHandler(BaseGANHandler):
     def _adv_g_loss(self, pred_fake, pred_real):
         return jnp.mean((pred_fake - 1.0) ** 2)
 
-    def _gan_step_impl(self, state, batch):
+    def _gan_step_impl(self, state, batch, vgg_params=None):
         # high-frequency components drive the discriminator
         hf_batch = dict(batch)
         hf_batch["hr"] = batch["hr"] - _lowpass(batch["hr"])
         # low-frequency L1 handled via pixel loss on lowpass pairs: fold
         # into the standard step by pre-filtering copies.
-        return super()._gan_step_impl(state, batch)
+        return super()._gan_step_impl(state, batch, vgg_params)
 
 
 # ---------------------------------------------------------------------------

@@ -190,8 +190,9 @@ class BaseGANHandler(BaseHandler):
     discriminator_type = "vgg128"
 
     def __init__(self, pretrain_epochs=0, lambda_adv=5e-3, lambda_pixel=1e-2,
-                 lambda_vgg=1.0, vgg_weights=None, discriminator=None,
-                 d_lr=None, nf=64, nb=23, gc=32, **kwargs):
+                 lambda_vgg=1.0, vgg_weights=None, vgg_layer="conv5_4",
+                 discriminator=None, d_lr=None, nf=64, nb=23, gc=32,
+                 **kwargs):
         self.pretrain_epochs = pretrain_epochs
         self.lambda_adv = lambda_adv
         self.lambda_pixel = lambda_pixel
@@ -202,6 +203,18 @@ class BaseGANHandler(BaseHandler):
         self.curr_epoch = 0
         self._d_lr = d_lr
         super().__init__(nf=nf, nb=nb, gc=gc, **kwargs)
+        # VGG-19 content loss (reference perceptual update,
+        # non_blind_gan_models/__init__.py:35-139 + VGGNets.py:120-186)
+        self.vgg_module = None
+        self._vgg_params = None
+        if vgg_weights:
+            from rumpy_tpu.models.feature_extractors import (
+                VGG19Features, load_extractor_params)
+            self.vgg_module = VGG19Features(tap=vgg_layer, dtype=self.dtype)
+            self._vgg_params = load_extractor_params(vgg_weights)
+        # RRDB heads pixel-unshuffle at scale<4 (generators.py pixel
+        # unshuffle input convention) — eval inputs must divide this.
+        self.size_multiple = {1: 4, 2: 2}.get(self.scale, 1)
         self.d_tx = build_optimizer(d_lr or self.lr)
         self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0,))
 
@@ -280,7 +293,7 @@ class BaseGANHandler(BaseHandler):
         return (jnp.mean((pred_real - 1.0) ** 2),
                 jnp.mean(pred_fake ** 2))
 
-    def _gan_step_impl(self, state: TrainState, batch):
+    def _gan_step_impl(self, state: TrainState, batch, vgg_params=None):
         rng, sub = jax.random.split(state.rng)
         extra = state.extra
         d_vars = extra["d_vars"]
@@ -296,11 +309,22 @@ class BaseGANHandler(BaseHandler):
                                             d_vars, batch["hr"], False)
             adv = self._adv_g_loss(pred_fake,
                                    jax.lax.stop_gradient(pred_real))
-            total = self.lambda_pixel * pixel + self.lambda_adv * adv
-            return total, (sr, pixel, adv)
+            # VGG-19 content term (generator_update,
+            # non_blind_gan_models/__init__.py:59-63): L1 between extractor
+            # features of SR and (detached) HR.
+            if self.vgg_module is not None and vgg_params is not None:
+                gen_f = self.vgg_module.apply({"params": vgg_params}, sr)
+                real_f = jax.lax.stop_gradient(self.vgg_module.apply(
+                    {"params": vgg_params}, batch["hr"]))
+                content = jnp.mean(jnp.abs(gen_f - real_f))
+            else:
+                content = jnp.zeros((), sr.dtype)
+            total = (self.lambda_vgg * content + self.lambda_adv * adv
+                     + self.lambda_pixel * pixel)
+            return total, (sr, pixel, adv, content)
 
-        g_grads, (sr, pixel, adv) = jax.grad(g_loss_fn, has_aux=True)(
-            state.params["generator"])
+        g_grads, (sr, pixel, adv, content) = jax.grad(
+            g_loss_fn, has_aux=True)(state.params["generator"])
         g_updates, g_opt = self.tx.update(g_grads,
                                           state.opt_state["generator"],
                                           state.params["generator"])
@@ -325,10 +349,10 @@ class BaseGANHandler(BaseHandler):
         d_params = optax.apply_updates(state.params["discriminator"],
                                        d_updates)
 
-        losses = {"train-loss": self.lambda_pixel * pixel
-                  + self.lambda_adv * adv,
+        losses = {"train-loss": self.lambda_vgg * content
+                  + self.lambda_pixel * pixel + self.lambda_adv * adv,
                   "l1-loss": pixel, "gan-loss": adv,
-                  "vgg-loss": jnp.zeros(()),
+                  "vgg-loss": content,
                   "d-loss-real": loss_real, "d-loss-fake": loss_fake}
         new_state = state.replace(
             step=state.step + 1,
@@ -366,7 +390,9 @@ class BaseGANHandler(BaseHandler):
     def train_batch(self, state, batch):
         if self.curr_epoch < self.pretrain_epochs:
             return self._train_step(state, batch)
-        return self._gan_step(state, batch)
+        # extractor params ride as an argument (not a closure constant) so
+        # the compiled executable doesn't embed the VGG weights
+        return self._gan_step(state, batch, self._vgg_params)
 
     def _eval_step_impl(self, params_extra, batch):
         params, extra = params_extra

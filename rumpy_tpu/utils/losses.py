@@ -60,13 +60,35 @@ def occupancy_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 class PerceptualMechanism:
-    """VGG-feature perceptual loss (loss_functions.py:22-38). Requires
-    pretrained VGG weights which are not shipped in this image; gate."""
+    """VGG-feature perceptual loss (reference loss_functions.py:22-38):
+    ``lambda_pixel * L1(sr, y) + lambda_per * L1(vgg(sr), vgg(y))`` with
+    the reference's VGG-19 p_loss extractor (conv5_4 tap, ImageNet
+    normalization). Weights come from a converted torchvision checkpoint
+    (models/feature_extractors.py::convert_torch_vgg19); construction is
+    gated on them, like the reference is gated on a torchvision download.
+
+    Inputs are NHWC RGB float [0, 1]; the whole call is jittable."""
 
     def __init__(self, weights_path: Optional[str] = None,
-                 pixel_weight: float = 1.0, vgg_weight: float = 1.0):
+                 lambda_pixel: float = 1.0, lambda_per: float = 0.01,
+                 vgg_layer: str = "conv5_4"):
         if weights_path is None:
             raise NotImplementedError(
                 "Perceptual loss needs pretrained VGG weights; pass a "
-                "weights npz path")
-        raise NotImplementedError("VGG weight loading not yet implemented")
+                "weights npz path (convert_torch_vgg19)")
+        from rumpy_tpu.models.feature_extractors import (VGG19Features,
+                                                         load_extractor_params)
+        self.lambda_pixel = lambda_pixel
+        self.lambda_per = lambda_per
+        self.module = VGG19Features(tap=vgg_layer)
+        self.params = load_extractor_params(weights_path)
+
+    def features(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply({"params": self.params}, images)
+
+    def __call__(self, sr: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        gen_features = self.features(sr)
+        real_features = jax.lax.stop_gradient(self.features(y))
+        vgg_loss = jnp.mean(jnp.abs(gen_features - real_features))
+        pixel_loss = jnp.mean(jnp.abs(sr - y))
+        return self.lambda_pixel * pixel_loss + self.lambda_per * vgg_loss
