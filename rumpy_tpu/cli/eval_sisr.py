@@ -52,7 +52,11 @@ def main(config, out_loc, model_loc, scale, save_im, gallery, time_models):
         save_im=bool(cfg.get("save_im")),
         gallery=bool(cfg.get("gallery")),
         lanczos_upsample=bool(cfg.get("lanczos_upsample")),
-        time_models=bool(cfg.get("time_models")))
+        time_models=bool(cfg.get("time_models")),
+        lpips_weights=cfg.get("lpips_weights"),
+        fr_gallery=cfg.get("fr_gallery"),
+        fr_extractor=cfg.get("fr_extractor") or "lightcnn",
+        fr_extractor_weights=cfg.get("fr_extractor_weights"))
     df = hub.full_image_protocol()
     click.echo(df.mean(axis=0).to_string())
 

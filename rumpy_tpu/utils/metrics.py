@@ -156,8 +156,15 @@ class Metrics:
 
     def run_metrics(self, im_a, im_ref, max_value: float = 1.0,
                     key_prefix: str | None = None,
-                    probe_names=None) -> Dict[str, List[float]]:
-        """Per-image metric values for a (N, H, W, C) batch pair."""
+                    probe_names=None, rgb_a=None,
+                    rgb_ref=None) -> Dict[str, List[float]]:
+        """Per-image metric values for a (N, H, W, C) batch pair.
+
+        PSNR/SSIM score `im_a` vs `im_ref` (typically Y-channel); the
+        RGB-domain metrics (LPIPS, FR_rank) use `rgb_a`/`rgb_ref` when
+        given — the reference converts YCbCr back to RGB internally for
+        these (metrics.py run_image_metric); passing RGB directly avoids
+        the double conversion its TODO complains about."""
         im_a = jnp.asarray(im_a, jnp.float32)
         im_ref = jnp.asarray(im_ref, jnp.float32)
         out: Dict[str, List[float]] = {}
@@ -166,8 +173,9 @@ class Metrics:
                 if probe_names is None:
                     raise ValueError("Need a probe ID to evaluate face "
                                      "recognition performance.")
+                probes = np.asarray(rgb_a if rgb_a is not None else im_a)
                 ranks = self.face_recognizer.fr_rank(
-                    probes=np.asarray(im_a), probe_ids=list(probe_names))
+                    probes=probes, probe_ids=list(probe_names))
                 key = (f"{key_prefix}{self.delimeter}{m}"
                        if key_prefix else m)
                 out[key] = [float(r) for r in ranks]
@@ -182,9 +190,11 @@ class Metrics:
                     lambda a, b: ssim(a, b, max_value))(im_a, im_ref)
                 ).tolist()
             elif m == "LPIPS" and self.lpips is not None:
+                la = rgb_a if rgb_a is not None else im_a
+                lb = rgb_ref if rgb_ref is not None else im_ref
                 vals = [float(v) for v in
-                        np.asarray(self.lpips(im_a / max_value,
-                                              im_ref / max_value))]
+                        np.asarray(self.lpips(jnp.asarray(la) / max_value,
+                                              jnp.asarray(lb) / max_value))]
             else:
                 continue
             key = f"{key_prefix}{self.delimeter}{m}" if key_prefix else m

@@ -163,3 +163,97 @@ def test_curation_clis(tmp_path, dataset_dirs):
     from rumpy_tpu.utils.checkpoint import available_epochs
     kept = available_epochs(os.path.join(results, "cur_exp", "saved_models"))
     assert len(kept) <= 4 and 5 in kept  # last always kept
+
+
+def _random_extractor_npz(module, path, input_shape=(1, 32, 32, 3)):
+    import jax
+    import jax.numpy as jnp
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros(input_shape))["params"]
+    flat = {f"{layer}/{leaf}": np.asarray(v)
+            for layer, sub in params.items() for leaf, v in sub.items()}
+    np.savez(path, **flat)
+    return str(path)
+
+
+def test_eval_sisr_lpips_and_face_recognition(tmp_path, dataset_dirs):
+    """VERDICT r1 item 4: LPIPS + face-recognition reachable from the
+    eval CLI — FR_rank/LPIPS columns in individual_metrics.csv and the
+    CMC/ROC report files under fr_metrics/ (standard_eval.py:488-531).
+    Extractors run with random weights (the weight files aren't shipped;
+    the wiring is what's under test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rumpy_tpu.cli.eval_sisr import main as eval_main
+    from rumpy_tpu.cli.train_sisr import main as train_main
+    from rumpy_tpu.models.feature_extractors import LightCNNFeatures
+    from rumpy_tpu.utils.lpips_jax import AlexFeatures
+
+    lr_dir, hr_dir = dataset_dirs
+    train_cfg = {
+        "experiment": "fr_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"scale": 2, "crop": 8, "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": lr_dir,
+                                              "hr_dir": hr_dir}}},
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 1, "batch_size": 1},
+    }
+    p = tmp_path / "train.toml"
+    dump_toml(train_cfg, str(p))
+    r = CliRunner().invoke(train_main, ["--parameters", str(p)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+
+    # random-weight extractors: LightCNN embeddings + LPIPS alex backbone
+    lightcnn_npz = _random_extractor_npz(LightCNNFeatures(),
+                                         tmp_path / "lightcnn.npz")
+    alex = AlexFeatures()
+    aparams = alex.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    flat = {f"{layer}/{leaf}": np.asarray(v)
+            for layer, sub in aparams.items() for leaf, v in sub.items()}
+    lpips_npz = tmp_path / "lpips.npz"
+    widths = [64, 192, 384, 256, 256]
+    lins = {f"lin{i}": np.abs(np.random.default_rng(i).random(
+        (w, 1)).astype(np.float32)) for i, w in enumerate(widths)}
+    np.savez(lpips_npz, **flat, **lins)
+
+    # gallery: the HR images themselves, identity == filename stem
+    eval_cfg = {
+        "model_loc": str(tmp_path / "Results"),
+        "out_loc": str(tmp_path / "eval_out"),
+        "scale": 2,
+        "metrics": ["PSNR", "SSIM", "LPIPS", "FR_rank"],
+        "lpips_weights": str(lpips_npz),
+        "fr_gallery": hr_dir,
+        "fr_extractor": "lightcnn",
+        "fr_extractor_weights": lightcnn_npz,
+        "data": {"lr_dir": lr_dir, "hr_dir": hr_dir},
+        "models": [{"experiment": "fr_exp", "epoch": "last",
+                    "label": "edsr_t"}],
+    }
+    ep = tmp_path / "eval.toml"
+    dump_toml(eval_cfg, str(ep))
+    r = CliRunner().invoke(eval_main, ["--config", str(ep)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+
+    ind = pd.read_csv(tmp_path / "eval_out" / "individual_metrics.csv",
+                      header=[0, 1], index_col=0)
+    for col in [("edsr_t", "PSNR"), ("edsr_t", "LPIPS"),
+                ("edsr_t", "FR_rank"), ("bicubic", "LPIPS"),
+                ("bicubic", "FR_rank")]:
+        assert col in ind.columns, (col, list(ind.columns))
+    assert (ind[("edsr_t", "LPIPS")] >= 0).all()
+    assert (ind[("edsr_t", "FR_rank")] >= 1).all()
+
+    fr_dir = tmp_path / "eval_out" / "fr_metrics"
+    assert (fr_dir / "cmc_curves.pdf").is_file()
+    cmc = pd.read_csv(fr_dir / "cmc_fr_metrics.csv", index_col=0)
+    assert "edsr_t" in cmc.columns and "bicubic" in cmc.columns
+    extra = pd.read_csv(fr_dir / "extra_fr_metrics.csv", index_col=0)
+    assert list(extra.index) == ["AUC", "EER"]
+    ranks = pd.read_csv(fr_dir / "individual_im_ranks.csv", index_col=0)
+    assert len(ranks) == 3
