@@ -47,10 +47,33 @@ def find_faces(input_dir, output_dir, yolo_cfg, yolo_weights, margin):
 @click.option("--input_dir", "-i", required=True, type=click.Path(exists=True))
 @click.option("--output_dir", "-o", required=True, type=click.Path())
 @click.option("--weights", default=None, type=click.Path())
-def face_segment(input_dir, output_dir, weights):
-    """BiSeNet face parsing over a folder of aligned faces."""
-    from rumpy_tpu.utils.face_tools import BiSeNetSegmenter
+@click.option("--save_superimposed_images", is_flag=True,
+              help="Additionally save inputs blended with the parsing map.")
+def face_segment(input_dir, output_dir, weights,
+                 save_superimposed_images):
+    """BiSeNet face parsing over a folder of aligned faces (reference
+    face_segmentation/segmentation.py CLI): writes a colorized parsing map
+    per image, resized back to the original dimensions."""
+    from rumpy_tpu.utils.face_segmentation import (BiSeNetSegmenter,
+                                                   colorize_parsing)
     try:
-        BiSeNetSegmenter(weights)
+        seg = BiSeNetSegmenter(weights)
     except NotImplementedError as e:
         raise click.ClickException(str(e))
+    os.makedirs(output_dir, exist_ok=True)
+    count = 0
+    for name in sorted(os.listdir(input_dir)):
+        if not name.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+            continue
+        img = Image.open(os.path.join(input_dir, name)).convert("RGB")
+        parsing = seg.parse(np.asarray(img))
+        vis = Image.fromarray(colorize_parsing(parsing)).resize(
+            img.size, Image.BILINEAR)
+        vis.save(os.path.join(output_dir, name))
+        if save_superimposed_images:
+            blend = Image.blend(img, vis, 0.5)
+            base, ext = os.path.splitext(name)
+            blend.save(os.path.join(output_dir,
+                                    f"{base}_superimposed{ext}"))
+        count += 1
+    click.echo(f"segmented {count} images into {output_dir}")

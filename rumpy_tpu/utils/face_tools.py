@@ -81,18 +81,9 @@ class FaceAligner:
         return cv2.warpAffine(image, m, self.output_size)
 
 
-class BiSeNetSegmenter:
-    """BiSeNet face parsing (sr_tools/face_segmentation/) — gated on a
-    pretrained checkpoint the same way the reference gates on its
-    user-downloaded .pth."""
-
-    def __init__(self, weights_path: Optional[str] = None):
-        if not weights_path:
-            raise NotImplementedError(
-                "Face segmentation needs a BiSeNet checkpoint "
-                "(pass weights_path)")
-        raise NotImplementedError(
-            "BiSeNet inference port pending weight availability")
+# Full flax BiSeNet lives in utils/face_segmentation.py; re-exported here
+# so the reference's import location (face tools) keeps working.
+from rumpy_tpu.utils.face_segmentation import BiSeNetSegmenter  # noqa: E402,F401
 
 
 def crop_faces(image: np.ndarray, detector: YoloFaceDetector,
