@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -78,6 +78,7 @@ class SuperResImages:
                  crop_count: int = 1,
                  patch_type: str = "random",
                  predefined_patch_locations=None,
+                 predefined_patch_location: Optional[str] = None,
                  augmentations: bool = False,
                  online_degradations: bool = False,
                  degradation_pipeline=None,
@@ -89,6 +90,10 @@ class SuperResImages:
         self.crop_count = crop_count
         self.patch_type = patch_type
         self.predefined_patch_locations = predefined_patch_locations
+        # per-image entropy-patch CSV (ClassifierImages parity,
+        # data_handler.py:762-777)
+        self.patch_file = (self._read_patch_file(predefined_patch_location)
+                           if predefined_patch_location else None)
         self.augmentations = augmentations
         self.online_degradations = online_degradations
         self.degradation_pipeline = degradation_pipeline
@@ -197,16 +202,44 @@ class SuperResImages:
             return np.ascontiguousarray(a)
         return [f(i) for i in imgs]
 
-    def _select_patch(self, img: np.ndarray, crop_size: int, idx: int):
+    @staticmethod
+    def _read_patch_file(path: str) -> Dict[str, List[Tuple[int, int]]]:
+        """Reference predefined-entropy-patch CSV (data_handler.py:762-777):
+        index = stringified ('image.png', ...) tuples (or plain names),
+        column 'high_entropy_patches_left_corner' = stringified corner
+        list."""
+        import ast
+
+        import pandas as pd
+        col = pd.read_csv(path, header=0, index_col=0).to_dict()[
+            "high_entropy_patches_left_corner"]
+        out: Dict[str, List[Tuple[int, int]]] = {}
+        for key, val in col.items():
+            try:
+                parsed = ast.literal_eval(key)
+                name = parsed[0] if isinstance(parsed, tuple) else parsed
+            except (ValueError, SyntaxError):
+                name = key
+            out[str(name)] = [tuple(c) for c in ast.literal_eval(val)]
+        return out
+
+    def _select_patch(self, img: np.ndarray, crop_size: int, idx: int,
+                      tag: Optional[str] = None, crop_index: int = 0,
+                      total: int = 1):
         """Patch corner by patch_type (image_patch_selection parity,
-        image_functions.py:297-326): random / entropy / predefined."""
+        image_functions.py:297-326): per-image predefined CSV corners /
+        predefined list / entropy / random."""
+        if self.patch_file is not None and tag in self.patch_file:
+            locs = self.patch_file[tag]
+            return tuple(locs[crop_index % len(locs)])
         if self.patch_type == "predefined" and self.predefined_patch_locations:
             return tuple(self.predefined_patch_locations[
-                idx % len(self.predefined_patch_locations)])
+                (idx + crop_index) % len(self.predefined_patch_locations)])
         if self.patch_type == "entropy" and img.shape[-1] == 3:
             from rumpy_tpu.ops.entropy import entropy_patch_positions
-            ys, xs = entropy_patch_positions(img, crop_size, 1)
-            return ys[0], xs[0]
+            ys, xs = entropy_patch_positions(img, crop_size, max(total, 1))
+            j = crop_index % len(ys)
+            return int(ys[j]), int(xs[j])
         top = int(self._rng.integers(0, max(1, img.shape[0] - crop_size + 1)))
         left = int(self._rng.integers(0, max(1, img.shape[1] - crop_size + 1)))
         return top, left
@@ -273,8 +306,9 @@ class SuperResImages:
             eff_scale = 1 if self.input == "interp" else self.scale
             crops = []
             for ci in range(self.crop_count):
-                top = int(self._rng.integers(0, max(1, lr_f.shape[0] - cs + 1)))
-                left = int(self._rng.integers(0, max(1, lr_f.shape[1] - cs + 1)))
+                top, left = self._select_patch(lr_f, cs, idx, tag=tag,
+                                               crop_index=ci,
+                                               total=self.crop_count)
                 patch = lr_f[top:top + cs, left:left + cs]
                 if self.augmentations:
                     patch, = self._augment(patch)
@@ -296,7 +330,7 @@ class SuperResImages:
         if self.crop is not None:
             cs = self.crop
             eff_scale = 1 if self.input == "interp" else self.scale
-            top, left = self._select_patch(lr_f, cs, idx)
+            top, left = self._select_patch(lr_f, cs, idx, tag=tag)
             lr_f = lr_f[top:top + cs, left:left + cs]
             if hr_f is not None:
                 hs = cs * eff_scale

@@ -38,6 +38,12 @@ class RegressionTrainingHandler(TrainingHandler):
         self._positives = int(internal.get("positives_per_class")
                               or internal.get("positives") or 1)
         data_cfg["crop_count"] = self._positives + 1
+        # SimCLR colour jitter on contrastive views (reference
+        # image_functions.py:364-371, applied per-crop in workers; here an
+        # on-device batched op with per-view independent draws)
+        self._colour_distort = bool(data_cfg.get("colour_distort"))
+        self._distortion_strength = float(
+            data_cfg.get("distortion_strength") or 1.0)
         model_cfg["internal_params"] = internal
         super().__init__(config, **kwargs)
 
@@ -131,8 +137,18 @@ class RegressionTrainingHandler(TrainingHandler):
             if mat is None:
                 m, _ = self.online_pipeline.metadata_matrix(meta)
                 mat = np.asarray(m, np.float32)
+        stacked = np.stack(views, axis=1)  # (N, P, h, w, C)
+        if self._colour_distort:
+            from rumpy_tpu.ops.color_aug import colour_distortion
+            for s in range(p):
+                # per-view keys differ -> views of one image get
+                # independent jitters (the SimCLR construction)
+                stacked[:, s] = np.asarray(colour_distortion(
+                    jax.random.fold_in(key, 1000 + s),
+                    jnp.asarray(stacked[:, s]),
+                    dist_strength=self._distortion_strength))
         out = dict(batch)
-        out["lr"] = np.stack(views, axis=1)  # (N, P, h, w, C)
+        out["lr"] = stacked
         out["metadata"] = mat
         return out
 
@@ -211,10 +227,24 @@ class RegressionTrainingHandler(TrainingHandler):
             ce.dump_embeddings(embeddings, labels,
                                os.path.join(self.model.logs_dir,
                                             f"encodings_epoch_{epoch}"))
+            # reference eval_hub writes BOTH a TSNE and a UMAP scatter per
+            # epoch (regression/evaluation/eval_hub.py); UMAP silently
+            # falls back to TSNE semantics inside scatter_plot when the
+            # optional umap package is absent, so only emit its file when
+            # the package is importable.
             try:
                 ce.scatter_plot(embeddings, labels,
                                 os.path.join(self.model.logs_dir,
-                                             f"tsne_epoch_{epoch}.pdf"))
+                                             f"tsne_epoch_{epoch}.pdf"),
+                                method="tsne")
+                try:
+                    import umap  # noqa: F401
+                    ce.scatter_plot(embeddings, labels,
+                                    os.path.join(self.model.logs_dir,
+                                                 f"umap_epoch_{epoch}.pdf"),
+                                    method="umap")
+                except ImportError:
+                    pass
             except Exception:
                 pass
         return {f"val-{k}": v for k, v in scores.items()}
