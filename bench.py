@@ -8,10 +8,15 @@ the optimizer, everything the reference did per batch (per-image CPU/PIL
 degradation + CUDA training; SURVEY.md §3.1/§3.3).
 
 Baseline constant: the reference publishes no throughput numbers
-(BASELINE.md). 1.1 HR-MP/s is our estimate of RCAN x4 training on a V100
-with the reference's CPU-bound input pipeline (~30 patches/s at 192x192 HR,
-literature-typical; the reference's own pipeline is input-bound below
-that). vs_baseline is measured/estimate — documented, not harvested.
+(BASELINE.md). The denominator is MEASURED-ANCHORED: the reference's own
+per-image degradation chain (its real_esrgan_blur kernel gen + filter2D +
+PIL bicubic downsample + noise + PIL JPEG, run from /root/reference) was
+timed at 0.220 HR-MP/s per CPU worker (6.0 images/s at 192x192); with the
+8 DataLoader workers of a typical training box its input pipeline caps at
+~1.76 HR-MP/s, below any plausible V100 step rate for RCAN x4 — the
+reference is input-bound (SURVEY.md §3.3), so 1.76 is its end-to-end
+ceiling and a conservative denominator. Measurement script recorded in
+BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,7 +26,8 @@ import time
 
 import numpy as np
 
-BASELINE_MP_PER_SEC = 1.1  # estimated reference PyTorch-GPU throughput
+# measured: 0.220 MP/s/worker x 8 workers (see module docstring)
+BASELINE_MP_PER_SEC = 1.76
 
 
 def main():

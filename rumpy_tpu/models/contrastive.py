@@ -43,7 +43,10 @@ class DASREncoder(nn.Module):
         lrelu = lambda v: nn.leaky_relu(v, 0.1)
         spec = [(64, 1), (64, 1), (128, 2), (128, 1), (256, 2), (256, 1)]
         for feats, stride in spec:
+            # explicit (1,1) padding: torch Conv2d(padding=1) pads both
+            # sides even at stride 2, where flax 'SAME' pads (0,1)
             x = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = nn.BatchNorm(use_running_average=not train,
                              dtype=self.dtype)(x)
@@ -55,7 +58,9 @@ class DASREncoder(nn.Module):
                        param_dtype=jnp.float32)(out)
         outputs = {"q": out}
         if self.dropdown_q is not None:
-            d = nn.Dense(64, dtype=self.dtype, param_dtype=jnp.float32)(fea)
+            # reference feeds the PROJECTED embedding into the dropdown
+            # head (encoding_models.py:52: drop_mlp(out)), not fea
+            d = nn.Dense(64, dtype=self.dtype, param_dtype=jnp.float32)(out)
             d = lrelu(d)
             d = nn.Dense(32, dtype=self.dtype, param_dtype=jnp.float32)(d)
             d = lrelu(d)

@@ -273,6 +273,10 @@ class ELAB(nn.Module):
         return x
 
 
+# DIV2K RGB mean used by the reference's MeanShift (ELAN_blocks.py:13-23)
+_DIV2K_RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
 class ELAN(nn.Module):
     scale: int = 4
     colors: int = 3
@@ -281,6 +285,8 @@ class ELAN(nn.Module):
     c_elan: int = 180
     n_share: int = 0
     r_expand: int = 2
+    apply_mean_shift: bool = True
+    rgb_range: float = 1.0
     dtype: Any = jnp.float32
     num_metadata: int = 0           # >0 enables QELAB meta-attention
     meta_every: int = 2
@@ -288,6 +294,9 @@ class ELAN(nn.Module):
     @nn.compact
     def __call__(self, x, metadata=None, train: bool = False):
         h, w = x.shape[1:3]
+        mean = jnp.asarray(_DIV2K_RGB_MEAN, x.dtype) * self.rgb_range
+        if self.apply_mean_shift:
+            x = x - mean
         # pad to a multiple of the window-size lcm (check_image_size)
         wsize = self.window_sizes[0]
         for ws in self.window_sizes[1:]:
@@ -316,6 +325,8 @@ class ELAN(nn.Module):
         out = nn.Conv(self.colors * self.scale ** 2, (3, 3),
                       dtype=self.dtype, param_dtype=jnp.float32)(res)
         out = pixel_shuffle(out, self.scale)
+        if self.apply_mean_shift:
+            out = out + mean
         return out[:, :h * self.scale, :w * self.scale, :]
 
 

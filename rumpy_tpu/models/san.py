@@ -68,7 +68,14 @@ class SOCA(nn.Module):
 
 
 class NonLocalBlock2D(nn.Module):
-    """Dot-product non-local block (SAN_blocks.py:11-241, bn off)."""
+    """Embedded-gaussian non-local block (SAN_blocks.py:11-149, bn off):
+    f = softmax(theta @ phi^T), z = W(f @ g) + x.
+
+    Note: the reference's 2-D branch rebinds its `sub_sample` flag to the
+    nn.Upsample CLASS (SAN_blocks.py:39), so `if sub_sample:` is always
+    truthy and g/phi are unconditionally followed by a stride-2 max-pool
+    regardless of the `sub_sample=False` argument SAN passes. That actual
+    behavior is reproduced here (and golden-tested)."""
     in_channels: int
     inter_channels: int
     dtype: Any = jnp.float32
@@ -79,15 +86,23 @@ class NonLocalBlock2D(nn.Module):
         n = h * w
         conv1 = lambda ch: nn.Conv(ch, (1, 1), dtype=self.dtype,
                                    param_dtype=jnp.float32)
-        g = conv1(self.inter_channels)(x).reshape(b, n, self.inter_channels)
+        g_conv = conv1(self.inter_channels)
+        w_conv = conv1(self.in_channels)
+        pool = lambda t: nn.max_pool(t, (2, 2), (2, 2))
+        g = pool(g_conv(x))
+        m = g.shape[1] * g.shape[2]
+        g = g.reshape(b, m, self.inter_channels)
         theta = conv1(self.inter_channels)(x).reshape(b, n,
                                                       self.inter_channels)
-        phi = conv1(self.inter_channels)(x).reshape(b, n,
-                                                    self.inter_channels)
-        f = jnp.einsum("bnc,bmc->bnm", theta, phi)
-        y = jnp.einsum("bnm,bmc->bnc", f / n, g)
+        phi = pool(conv1(self.inter_channels)(x)).reshape(
+            b, m, self.inter_channels)
+        f = jnp.einsum("bnc,bmc->bnm", theta, phi,
+                       precision=jax.lax.Precision.HIGHEST)
+        attn = jax.nn.softmax(f, axis=-1)
+        y = jnp.einsum("bnm,bmc->bnc", attn, g,
+                       precision=jax.lax.Precision.HIGHEST)
         y = y.reshape(b, h, w, self.inter_channels)
-        y = conv1(self.in_channels)(y)
+        y = w_conv(y)
         return y + x
 
 
@@ -164,7 +179,7 @@ class SAN(nn.Module):
         xx = nl(x)
         residual = xx
         for _ in range(self.n_resgroups):
-            xx = LSRAG(self.n_feats, self.n_resblocks, 8,
+            xx = LSRAG(self.n_feats, self.n_resblocks, self.reduction,
                        self.num_metadata, dtype=self.dtype)(xx, metadata) \
                 + gamma * residual
         res = nl(xx)

@@ -128,6 +128,7 @@ class RSTB(nn.Module):
     depth: int
     num_heads: int
     window_size: int = 8
+    mlp_ratio: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -136,18 +137,36 @@ class RSTB(nn.Module):
         for i in range(self.depth):
             res = SwinBlock(self.dim, self.num_heads, self.window_size,
                             shift=0 if i % 2 == 0 else self.window_size // 2,
+                            mlp_ratio=self.mlp_ratio,
                             dtype=self.dtype)(res)
         res = Conv(self.dim, 3, dtype=self.dtype)(res)
         return x + res
 
 
+# SwinIR's RGB mean (architectures.py:646-649)
+_SWIN_RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+def _nearest_up2(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
 class SwinIR(nn.Module):
+    """Full reference layout (swinIR/architectures.py:607-817): mean-shift
+    by img_range, conv_first, patch-embed LayerNorm, RSTB stack, final
+    LayerNorm, conv_after_body + residual, then one of the reference's
+    reconstruction heads ('pixelshuffle' / 'pixelshuffledirect' /
+    'nearest+conv' / '' denoising tail)."""
     scale: int = 4
     in_chans: int = 3
     embed_dim: int = 60
     depths: Tuple[int, ...] = (6, 6, 6, 6)
     num_heads: Tuple[int, ...] = (6, 6, 6, 6)
     window_size: int = 8
+    mlp_ratio: float = 2.0
+    img_range: float = 1.0
+    upsampler: str = "pixelshuffle"
+    num_feat: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -159,15 +178,48 @@ class SwinIR(nn.Module):
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                         mode="reflect")
+        mean = (jnp.asarray(_SWIN_RGB_MEAN, x.dtype)
+                if self.in_chans == 3 else jnp.zeros((1,), x.dtype))
+        x = (x - mean) * self.img_range
+
         feat = Conv(self.embed_dim, 3, dtype=self.dtype)(x)
-        res = feat
+        # patch_embed norm (patch_norm=True default): LayerNorm on tokens
+        res = nn.LayerNorm(dtype=self.dtype)(feat)
         for depth, heads in zip(self.depths, self.num_heads):
             res = RSTB(self.embed_dim, depth, heads, ws,
-                       dtype=self.dtype)(res)
-        res = Conv(self.embed_dim, 3, dtype=self.dtype)(res)
+                       mlp_ratio=self.mlp_ratio, dtype=self.dtype)(res)
+        res = nn.LayerNorm(dtype=self.dtype)(res)  # self.norm
+        res = Conv(self.embed_dim, 3, dtype=self.dtype)(res)  # after_body
         feat = feat + res
-        feat = Upsampler(self.scale, self.embed_dim, dtype=self.dtype)(feat)
-        out = Conv(self.in_chans, 3, dtype=self.dtype)(feat)
+
+        lrelu = lambda v, s: jnp.where(v >= 0, v, s * v)
+        if self.upsampler == "pixelshuffle":
+            feat = Conv(self.num_feat, 3, dtype=self.dtype)(feat)
+            feat = lrelu(feat, 0.01)  # LeakyReLU(inplace=True) default
+            feat = Upsampler(self.scale, self.num_feat,
+                             dtype=self.dtype)(feat)
+            out = Conv(self.in_chans, 3, dtype=self.dtype)(feat)
+        elif self.upsampler == "pixelshuffledirect":
+            from rumpy_tpu.models.common import pixel_shuffle
+            out = Conv(self.in_chans * self.scale ** 2, 3,
+                       dtype=self.dtype)(feat)
+            out = pixel_shuffle(out, self.scale)
+        elif self.upsampler == "nearest+conv":
+            # real-world SR head (x4 only in the reference)
+            feat = Conv(self.num_feat, 3, dtype=self.dtype)(feat)
+            feat = lrelu(feat, 0.01)
+            feat = lrelu(Conv(self.num_feat, 3,
+                              dtype=self.dtype)(_nearest_up2(feat)), 0.2)
+            feat = lrelu(Conv(self.num_feat, 3,
+                              dtype=self.dtype)(_nearest_up2(feat)), 0.2)
+            feat = lrelu(Conv(self.num_feat, 3, dtype=self.dtype)(feat),
+                         0.2)
+            out = Conv(self.in_chans, 3, dtype=self.dtype)(feat)
+        else:
+            # denoising / artifact-removal tail: residual conv
+            out = x + Conv(self.in_chans, 3, dtype=self.dtype)(feat)
+
+        out = out / self.img_range + mean
         return out[:, :h * self.scale, :w * self.scale, :]
 
 
@@ -178,10 +230,14 @@ class SwinIRHandler(BaseHandler):
     im_input = "unmodified"
 
     def __init__(self, embed_dim=60, depths=(6, 6, 6, 6),
-                 num_heads=(6, 6, 6, 6), window_size=8, **kwargs):
+                 num_heads=(6, 6, 6, 6), window_size=8,
+                 mlp_ratio=2.0, img_range=1.0,
+                 upsampler="pixelshuffle", **kwargs):
         super().__init__(embed_dim=embed_dim, depths=tuple(depths),
                          num_heads=tuple(num_heads),
-                         window_size=window_size, **kwargs)
+                         window_size=window_size, mlp_ratio=mlp_ratio,
+                         img_range=img_range, upsampler=upsampler,
+                         **kwargs)
 
     def build_module(self, **kw):
         return SwinIR(scale=self.scale, in_chans=self.in_features,

@@ -24,6 +24,10 @@ class _AnyObj:
 
 class _AnyAttr(types.ModuleType):
     def __getattr__(self, name):
+        # never fake dunders: torch/inspect walk sys.modules and choke on
+        # a module whose __file__ isn't a real path
+        if name.startswith("__"):
+            raise AttributeError(name)
         return _ANY_OBJ
 
 

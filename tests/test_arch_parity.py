@@ -4,6 +4,7 @@ our flax models via convert_by_order, and compare forward outputs on the
 same input. This proves the compute graphs are the same function — the
 strongest parity check available without the Zenodo checkpoints."""
 
+import re
 import sys
 import types
 
@@ -302,3 +303,333 @@ def test_qrcan_forward_parity(ref_arch, rng):
                                    jnp.asarray(meta)))
         np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
                                    atol=2e-4, err_msg=style)
+
+
+def _reorder_elan_state(sd):
+    """Torch ELAN state dict -> flax creation order. Drops the fixed
+    (non-trainable) pieces: MeanShift convs (constants in our module) and
+    the ShiftConv2d1 depthwise shift mask (expressed as pad+slice)."""
+    items = [(k, v) for k, v in sd.items()
+             if not k.startswith(("sub_mean", "add_mean"))
+             and not k.endswith("shift_conv.weight")]
+    return dict(items)
+
+
+def test_elan_forward_parity(ref_arch, rng):
+    """ELAN parity: shift-conv (masked-conv shifts), group multi-scale
+    window attention with shared attention maps, BatchNorm projection,
+    mean-shift (advanced/architectures.py:446-530, ELAN_blocks.py)."""
+    arch, _, torch = ref_arch
+    from rumpy_tpu.registry import get_model
+    net = arch.ELAN(scale=2, colors=3, window_sizes=[4, 8, 16],
+                    m_elan=4, c_elan=30, n_share=0, r_expand=2)
+    net.eval()
+    h = get_model("elan")(scale=2, window_sizes=(4, 8, 16), m_elan=4,
+                          c_elan=30, n_share=0, r_expand=2)
+    x = rng.random((1, 3, 16, 16)).astype(np.float32)
+
+    import jax.numpy as jnp
+    import torch as _t
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+    with _t.no_grad():
+        ref = net(_t.from_numpy(x)).numpy()
+    state = h.init_state()
+    params = convert_by_order(_reorder_elan_state(net.state_dict()),
+                              state.params)
+    state = state.replace(params=params)
+    got = np.asarray(h.run_eval(state, {"lr": jnp.asarray(
+        x.transpose(0, 2, 3, 1))}))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=3e-4)
+
+
+def _reorder_san_state(sd):
+    """Torch SAN state dict -> flax first-call order:
+    head -> gamma -> non-local (g, theta, phi, W) -> residual groups ->
+    tail. Drops dead parameters the reference never uses in forward:
+    per-group LSRAG.gamma, the top-level conv_last, and Nonlocal_CA's
+    unused inner SOCA."""
+    sd = {k: v for k, v in sd.items()
+          if not re.match(r"RG\.\d+\.gamma$", k)
+          and not k.startswith("conv_last.")
+          and not k.startswith("non_local.soca.")}
+    head = [k for k in sd if k.startswith("head.")]
+    gamma = ["gamma"]
+    # torch wraps g/phi in Sequential(conv, maxpool) -> '.0' key segment
+    nl = ["non_local.non_local." + p + s
+          for p in ("g.0", "theta", "phi.0", "W")
+          for s in (".weight", ".bias")]
+    rg = [k for k in sd if k.startswith("RG.")]
+    tail = [k for k in sd if k.startswith("tail.")]
+    ordered = head + gamma + nl + rg + tail
+    assert sorted(ordered) == sorted(sd), (set(sd) ^ set(ordered))
+    return {k: sd[k] for k in ordered}
+
+
+def test_san_forward_parity(ref_arch, rng):
+    """SAN parity: MPN-COV Newton-Schulz covariance sqrt (SOCA),
+    embedded-gaussian non-local over quadrants, share-source skips
+    (advanced/architectures.py:260-331, SAN_blocks.py, mpncov.py)."""
+    arch, _, torch = ref_arch
+    import re as _re  # noqa: F401
+    from rumpy_tpu.registry import get_model
+    net = arch.SAN(scale=2, n_resgroups=2, n_resblocks=2, n_feats=16,
+                   reduction=8)
+    net.eval()
+    h = get_model("san")(scale=2, n_resgroups=2, n_resblocks=2,
+                         n_feats=16, reduction=8)
+    x = rng.random((1, 3, 12, 12)).astype(np.float32)
+
+    import jax.numpy as jnp
+    import torch as _t
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+    with _t.no_grad():
+        ref = net(_t.from_numpy(x)).numpy()
+    state = h.init_state()
+    params = convert_by_order(_reorder_san_state(net.state_dict()),
+                              state.params)
+    state = state.replace(params=params)
+    got = np.asarray(h.run_eval(state, {"lr": jnp.asarray(
+        x.transpose(0, 2, 3, 1))}))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=5e-4)
+
+
+def _load_ref_swinir():
+    import importlib.util
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    return load("ref_swinir_architectures",
+                f"{REF}/swinIR/architectures.py")
+
+
+def _reorder_swinir_state(sd):
+    """Drop registered buffers (relative_position_index, attn_mask) and
+    move each attention's relative_position_bias_table after its qkv
+    (flax insertion order is first-call order: qkv, bias table, proj)."""
+    sd = {k: v for k, v in sd.items()
+          if "relative_position_index" not in k and "attn_mask" not in k}
+    keys = list(sd)
+    out = []
+    i = 0
+    while i < len(keys):
+        k = keys[i]
+        if k.endswith("attn.relative_position_bias_table"):
+            # qkv.weight, qkv.bias follow; emit them first. The table is
+            # 2-D so the order-zip converter will transpose it as a
+            # 'linear' — pre-transpose so it lands in the torch layout
+            # ((2w-1)^2, heads), which is what our module indexes.
+            sd[k] = sd[k].t()
+            out.extend([keys[i + 1], keys[i + 2], k])
+            i += 3
+        else:
+            out.append(k)
+            i += 1
+    return {k: sd[k] for k in out}
+
+
+def test_swinir_forward_parity(ref_arch, rng):
+    """SwinIR parity: shifted-window MSA with relative position bias,
+    patch-embed/final LayerNorms, mean shift, nearest+conv and
+    pixelshuffle reconstruction heads (swinIR/architectures.py:607-817).
+    drop_path_rate=0 (the stubbed timm DropPath is never instantiated;
+    eval-mode drop-path is identity anyway)."""
+    _, _, torch = ref_arch
+    swin = _load_ref_swinir()
+    import jax.numpy as jnp
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    for upsampler, scale in [("nearest+conv", 4), ("pixelshuffle", 2),
+                             ("pixelshuffledirect", 2)]:
+        torch.manual_seed(0)
+        net = swin.SwinIR(upscale=scale, img_size=8, in_chans=3,
+                          window_size=4, img_range=1.0, depths=[2, 2],
+                          embed_dim=12, num_heads=[2, 2], mlp_ratio=2,
+                          drop_path_rate=0.0, upsampler=upsampler,
+                          resi_connection="1conv")
+        net.eval()
+        h = get_model("swinir")(scale=scale, embed_dim=12, depths=(2, 2),
+                                num_heads=(2, 2), window_size=4,
+                                mlp_ratio=2.0, upsampler=upsampler)
+        x = rng.random((1, 3, 8, 8)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x)).numpy()
+        state = h.init_state()
+        params = convert_by_order(_reorder_swinir_state(net.state_dict()),
+                                  state.params)
+        state = state.replace(params=params)
+        got = np.asarray(h.run_eval(state, {"lr": jnp.asarray(
+            x.transpose(0, 2, 3, 1))}))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   atol=3e-4, err_msg=upsampler)
+
+
+def test_dan_v1_forward_parity(ref_arch, rng):
+    """DAN v1 parity: alternating Estimator/Restorer with PCA-encoded
+    init kernel map and stop-gradients between the halves
+    (blur_kernel_blind_sr/DANv1.py). PCA matrix: the reference's shipped
+    Set5 blind-set matrix."""
+    _, _, torch = ref_arch
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_danv1", f"{REF}/blur_kernel_blind_sr/DANv1.py")
+    danm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(danm)
+
+    import jax.numpy as jnp
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    pca = ("/root/reference/Data/example_data/Set5/lr_random_blur/"
+           "pca_matrix.pth")
+    torch.manual_seed(0)
+    net = danm.DAN(nf=16, nb=2, upscale=4, input_para=10, kernel_size=21,
+                   loop=2, pca_matrix_path=pca)
+    net.eval()
+    ikm = tuple(float(v) for v in net.init_ker_map.numpy()[0])
+
+    h = get_model("dan")(mode="v1", scale=4, nf=16, nb=2, loop=2,
+                         init_ker_map=ikm)
+    state = h.init_state()
+    sd = {k: v for k, v in net.state_dict().items()
+          if k not in ("encoder", "init_kernel", "init_ker_map")}
+    params = convert_by_order(sd, state.params)
+
+    x = rng.random((1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_srs, ref_kms = net(torch.from_numpy(x))
+    got_srs, got_kms = h.module.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got_srs) == len(ref_srs) == 2
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got_srs[i]).transpose(0, 3, 1, 2),
+            ref_srs[i].numpy(), atol=3e-4, err_msg=f"sr iter {i}")
+        np.testing.assert_allclose(np.asarray(got_kms[i]),
+                                   ref_kms[i].numpy(), atol=3e-4,
+                                   err_msg=f"kernel iter {i}")
+
+
+def _reorder_sftmd_state(sd):
+    """Torch registers each block's (sft1, sft2, conv1, conv2); flax call
+    order is sft1, conv1, sft2, conv2."""
+    keys = list(sd)
+    out, i = [], 0
+    while i < len(keys):
+        k = keys[i]
+        if ".sft1." in k:
+            block = k.split(".sft1.")[0]
+            sft1 = [q for q in keys if q.startswith(block + ".sft1.")]
+            sft2 = [q for q in keys if q.startswith(block + ".sft2.")]
+            convs = [q for q in keys if q.startswith(block + ".conv")]
+            assert len(convs) == 4
+            out.extend(sft1 + convs[:2] + sft2 + convs[2:])
+            i += len(sft1) + len(sft2) + 4
+        else:
+            out.append(k)
+            i += 1
+    assert sorted(out) == sorted(keys)
+    return {k: sd[k] for k in out}
+
+
+def test_sftmd_forward_parity(ref_arch, rng):
+    """SFTMD parity across SFT layer types (SFTMD_variants/
+    architectures.py). The reference net takes pre-tiled (B,P,H,W)
+    metadata maps; ours takes the (B,P) vector and tiles internally."""
+    _, _, torch = ref_arch
+    import importlib.util
+    import types as _t
+    sys.modules.setdefault("rumpy.SISR.models.SFTMD_variants",
+                           _t.ModuleType("rumpy.SISR.models.SFTMD_variants"))
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    if "rumpy.SISR.models.attention_manipulators.da_layer" not in sys.modules:
+        load("rumpy.SISR.models.attention_manipulators.da_layer",
+             f"{REF}/attention_manipulators/da_layer.py")
+    sft = load("ref_sftmd_architectures",
+               f"{REF}/SFTMD_variants/architectures.py")
+
+    import jax.numpy as jnp
+    from rumpy_tpu.models.sftmd_variants import SFTMD
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    for sft_type in ("standard", "concat", "split", "weak"):
+        # 'weak' multiplies features by the maps elementwise, so it needs
+        # para == nf (the reference uses it with expanded metadata)
+        para = 16 if sft_type == "weak" else 10
+        torch.manual_seed(0)
+        net = sft.SFTMD(num_features=16, num_blocks=2, scale=4,
+                        input_para=para, SFT_type=sft_type, split="22")
+        net.eval()
+        mod = SFTMD(scale=4, num_features=16, num_blocks=2,
+                    input_para=para, sft_type=sft_type, split="22")
+        x = rng.random((1, 3, 8, 8)).astype(np.float32)
+        meta = rng.random((1, para)).astype(np.float32)
+        maps = np.broadcast_to(meta[:, :, None, None],
+                               (1, para, 8, 8)).copy()
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x), torch.from_numpy(maps)).numpy()
+        import jax
+        variables = mod.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 8, 8, 3)),
+                             jnp.zeros((1, para)))
+        params = convert_by_order(_reorder_sftmd_state(net.state_dict()),
+                                  variables["params"])
+        got = np.asarray(mod.apply({"params": params},
+                                   jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                   jnp.asarray(meta)))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   atol=3e-4, err_msg=sft_type)
+
+
+def test_dasr_encoder_forward_parity(ref_arch, rng):
+    """DASR contrastive encoder parity (regression/models/
+    contrastive_learning/encoding_models.py:5-55): 6 conv+BN+lrelu stages,
+    GAP, projection MLP, optional dropdown head."""
+    _, _, torch = ref_arch
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_encoding_models",
+        "/root/reference/rumpy/regression/models/contrastive_learning/"
+        "encoding_models.py")
+    enc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(enc)
+
+    import jax
+    import jax.numpy as jnp
+    from rumpy_tpu.models.contrastive import DASREncoder
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    for dropdown in (None, 5):
+        torch.manual_seed(0)
+        net = enc.Encoder(dropdown_q=dropdown)
+        net.eval()
+        x = rng.random((2, 3, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            ref_fea, ref_out = net(torch.from_numpy(x))
+        mod = DASREncoder(dropdown_q=dropdown)
+        variables = mod.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 16, 16, 3)))
+        params = convert_by_order(net.state_dict(), variables["params"])
+        got_fea, got_out = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got_fea), ref_fea.numpy(),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(got_out["q"]),
+                                   ref_out["q"].numpy(), atol=3e-4)
+        if dropdown:
+            np.testing.assert_allclose(
+                np.asarray(got_out["dropdown_q"]),
+                ref_out["dropdown_q"].numpy(), atol=3e-4)
