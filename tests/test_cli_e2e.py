@@ -257,3 +257,43 @@ def test_eval_sisr_lpips_and_face_recognition(tmp_path, dataset_dirs):
     assert list(extra.index) == ["AUC", "EER"]
     ranks = pd.read_csv(fr_dir / "individual_im_ranks.csv", index_col=0)
     assert len(ranks) == 3
+
+
+def test_eval_sisr_cli_flags_only(tmp_path, dataset_dirs):
+    """Reference net_eval runs entirely from flags (no config file):
+    -me model epoch, -m metrics, --lr_dir/--hr_dir (r1 weak #9)."""
+    from rumpy_tpu.cli.eval_sisr import main as eval_main
+    from rumpy_tpu.cli.train_sisr import main as train_main
+    lr_dir, hr_dir = dataset_dirs
+    train_cfg = {
+        "experiment": "flags_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"scale": 2, "crop": 8, "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": lr_dir,
+                                              "hr_dir": hr_dir}}},
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 1, "batch_size": 1},
+    }
+    p = tmp_path / "train.toml"
+    dump_toml(train_cfg, str(p))
+    r = CliRunner().invoke(train_main, ["--parameters", str(p)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+
+    r = CliRunner().invoke(eval_main, [
+        "--model_loc", str(tmp_path / "Results"),
+        "--out_loc", str(tmp_path / "flags_out"),
+        "--scale", "2", "--lr_dir", lr_dir, "--hr_dir", hr_dir,
+        "-me", "flags_exp", "last", "-m", "PSNR"])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+    ind = pd.read_csv(tmp_path / "flags_out" / "individual_metrics.csv",
+                      header=[0, 1], index_col=0)
+    assert ("flags_exp", "PSNR") in ind.columns
+    assert ("flags_exp", "SSIM") not in ind.columns  # -m narrowed metrics
+    # missing models is a loud CLI error
+    r = CliRunner().invoke(eval_main, [
+        "--model_loc", str(tmp_path / "Results"),
+        "--out_loc", str(tmp_path / "flags_out2")])
+    assert r.exit_code != 0
+    assert "No models specified" in r.output

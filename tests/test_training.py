@@ -196,3 +196,47 @@ def test_empty_train_loader_raises(tmp_path, tiny_dataset):
     handler = TrainingHandler(cfg)
     with pytest.raises(RuntimeError, match="no batches"):
         handler.train(0)
+
+
+def test_profile_steps_writes_trace(tmp_path, rng):
+    """[training] profile_steps captures a jax.profiler trace into
+    result_outputs/profile (SURVEY §5 tracing hook)."""
+    import os
+
+    from PIL import Image
+
+    from rumpy_tpu.training.trainer import TrainingHandler
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    os.makedirs(hr_dir)
+    os.makedirs(lr_dir)
+    from rumpy_tpu.ops import resize
+    for i in range(2):
+        hr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f"im{i}.png")
+        Image.fromarray(np.asarray(resize.pil_resize(hr, (16, 16)))).save(
+            lr_dir / f"im{i}.png")
+    cfg = {
+        "experiment": "prof_exp",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"scale": 2, "crop": 8, "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": str(lr_dir),
+                                              "hr_dir": str(hr_dir)}},
+                 "eval_sets": {"data_1": {"lr_dir": str(lr_dir),
+                                          "hr_dir": str(hr_dir)}}},
+        "model": {"name": "edsr",
+                  "internal_params": {"scale": 2, "num_features": 8,
+                                      "num_blocks": 1}},
+        "training": {"num_epochs": 1, "batch_size": 1,
+                     "profile_steps": 1},
+    }
+    handler = TrainingHandler(cfg)
+    handler.run_experiment()
+    prof = tmp_path / "Results" / "prof_exp" / "result_outputs" / "profile"
+    assert prof.is_dir()
+    found = [f for _r, _d, fs in os.walk(prof) for f in fs]
+    assert found, "profiler trace directory is empty"
+    # sample saving landed too (first val image per epoch)
+    samples = (tmp_path / "Results" / "prof_exp" / "result_outputs"
+               / "samples")
+    assert (samples / "epoch_0_sample.png").is_file()
