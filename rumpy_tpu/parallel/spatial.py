@@ -78,7 +78,10 @@ def spatial_sharded_forward(forward: Callable, image: jnp.ndarray,
     :param halo: context rows exchanged with neighbors; exact when
         >= the network's receptive-field radius.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     n_dev = mesh.shape[axis_name]
     n, h, w, c = image.shape
