@@ -25,6 +25,7 @@ implemented here compactly but functionally:
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -42,117 +43,280 @@ from rumpy_tpu.registry import register_model
 # SPARNet
 # ---------------------------------------------------------------------------
 
-class HourGlassAttention(nn.Module):
-    """SPAR attention: hourglass downsample/upsample -> sigmoid mask
-    (SPARNet/blocks.py:103-220)."""
-    channels: int
-    depth: int = 2
+class SPConv(nn.Module):
+    """SPARNet ConvLayer (blocks.py:67-100): optional nearest-x2 up,
+    reflect pad k//2, conv (stride 2 on 'down'; bias only when the norm
+    is 'none'/'pixel'), norm, relu — in that call order."""
+    out_ch: int
+    kernel: int = 3
+    scale: str = "none"   # 'none' | 'down' | 'up' (or the literal 1 the
+    #                       reference passes positionally, == 'none')
+    norm: str = "none"    # 'none' | 'bn' | 'pixel'
+    relu: str = "none"    # 'none' | 'relu' | 'leakyrelu' | 'prelu'
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        feats = []
-        h = x
-        for _ in range(self.depth):
-            h = nn.Conv(self.channels, (3, 3), strides=(2, 2),
-                        dtype=self.dtype, param_dtype=jnp.float32)(h)
-            h = nn.leaky_relu(h, 0.2)
-            feats.append(h)
-        for i in range(self.depth):
-            target = feats[-(i + 2)] if i + 1 < self.depth else x
-            th, tw = target.shape[1:3]
-            h = jax.image.resize(h, (h.shape[0], th, tw, h.shape[-1]),
-                                 "nearest")
-            h = nn.Conv(self.channels, (3, 3), dtype=self.dtype,
-                        param_dtype=jnp.float32)(h)
-            h = nn.leaky_relu(h, 0.2)
-        mask = nn.sigmoid(nn.Conv(1, (1, 1), dtype=self.dtype,
-                                  param_dtype=jnp.float32)(h))
-        return x * mask
-
-
-class SPARBlock(nn.Module):
-    channels: int
-    scale: str = "none"  # 'down' | 'up' | 'none'
-    hg_depth: int = 2
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        if self.scale == "down":
-            x = nn.avg_pool(x, (2, 2), (2, 2))
-        elif self.scale == "up":
+    def __call__(self, x, train: bool = False):
+        if self.scale == "up":
             n, h, w, c = x.shape
             x = jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
-        shortcut = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
-                           param_dtype=jnp.float32)(x)
-        h_ = Conv(self.channels, 3, dtype=self.dtype)(x)
-        h_ = nn.leaky_relu(h_, 0.2)
-        h_ = Conv(self.channels, 3, dtype=self.dtype)(h_)
-        h_ = HourGlassAttention(self.channels, max(1, self.hg_depth),
-                                dtype=self.dtype)(h_)
-        return shortcut + h_
+        p = self.kernel // 2
+        if p:
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
+                        mode="reflect")
+        stride = 2 if self.scale == "down" else 1
+        x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                    strides=(stride, stride), padding="VALID",
+                    use_bias=self.norm in ("none", "pixel"),
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.norm == "bn":
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
+        elif self.norm == "pixel":
+            x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+        if self.relu == "relu":
+            x = nn.relu(x)
+        elif self.relu == "leakyrelu":
+            x = nn.leaky_relu(x, 0.2)
+        elif self.relu == "prelu":
+            alpha = self.param("prelu", nn.initializers.constant(0.25),
+                               (self.out_ch,))
+            x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+        return x
 
 
-class SPARNet(nn.Module):
-    min_ch: int = 32
-    max_ch: int = 128
-    down_steps: int = 3
-    res_depth: int = 10
+class HourGlassBlock(nn.Module):
+    """SPAR attention (blocks.py:178-240): recursive hourglass producing
+    a sigmoid attention map; returns input * map."""
+    depth: int
+    c_attn: int = 1
+    c_mid: int = 64
+    norm: str = "bn"
+    relu: str = "leakyrelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.depth == 0:
+            return x
+        nr = dict(norm=self.norm, relu=self.relu, dtype=self.dtype)
+
+        def level(lv, in_x):
+            up1 = SPConv(self.c_mid, 3, **nr)(in_x, train)
+            low1 = SPConv(self.c_mid, 3, scale="down", **nr)(in_x, train)
+            if lv > 1:
+                low2 = level(lv - 1, low1)
+            else:
+                low2 = SPConv(self.c_mid, 3, **nr)(low1, train)
+            up2 = SPConv(self.c_mid, 3, scale="up", **nr)(low2, train)
+            if up1.shape[1:3] != up2.shape[1:3]:
+                up2 = jax.image.resize(
+                    up2, up2.shape[:1] + up1.shape[1:3] + up2.shape[3:],
+                    "nearest")
+            return up1 + up2
+
+        h = level(self.depth, x)
+        att = nn.sigmoid(SPConv(self.c_attn, 3, dtype=self.dtype)(h))
+        return x * att
+
+
+class SPARResidualBlock(nn.Module):
+    """blocks.py:103-175: preact(norm+relu) -> conv1 -> conv2 ->
+    identity + hourglass(out); optional ParaCALayer metadata injection
+    (QSPARNet's include_metadata)."""
+    c_in: int
+    c_out: int
+    scale: str = "none"
+    hg_depth: int = 2
+    att_name: str = "spar"
+    norm: str = "bn"
+    relu: str = "leakyrelu"
     num_metadata: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, metadata=None):
+    def __call__(self, x, metadata=None, train: bool = False):
+        nr = dict(norm=self.norm, relu=self.relu, dtype=self.dtype)
+        if self.scale == "none" and self.c_in == self.c_out:
+            identity = x
+        else:
+            identity = SPConv(self.c_out, 3, scale=self.scale,
+                              dtype=self.dtype)(x, train)
+        # preact: NormLayer + ReluLayer on c_in
+        out = x
+        if self.norm == "bn":
+            out = nn.BatchNorm(use_running_average=not train,
+                               dtype=self.dtype)(out)
+        if self.relu == "leakyrelu":
+            out = nn.leaky_relu(out, 0.2)
+        elif self.relu == "relu":
+            out = nn.relu(out)
+        elif self.relu == "prelu":
+            alpha = self.param("preact_prelu",
+                               nn.initializers.constant(0.25),
+                               (self.c_in,))
+            out = jnp.where(out >= 0, out, alpha.astype(out.dtype) * out)
+        scales = {"down": ("none", "down"), "up": ("up", "none"),
+                  "none": ("none", "none")}[self.scale]
+        out = SPConv(self.c_out, 3, scale=scales[0], **nr)(out, train)
+        out = SPConv(self.c_out, 3, scale=scales[1], norm=self.norm,
+                     relu="none", dtype=self.dtype)(out, train)
+        c_attn = self.c_out if self.att_name == "spar3d" else 1
+        out = identity + HourGlassBlock(
+            self.hg_depth, c_attn, norm=self.norm, relu=self.relu,
+            dtype=self.dtype)(out, train)
+        if self.num_metadata > 0 and metadata is not None:
+            out = ParaCALayer(self.c_out, self.num_metadata,
+                              nonlinearity=True,
+                              dtype=self.dtype)(out, metadata)
+        return out
+
+
+class SPARNet(nn.Module):
+    """SPARNet / QSPARNet (SPARNet/architectures.py): encoder down to
+    min_feat_size, residual trunk, decoder back to out_size, with the
+    reference's channel-clip and hourglass-depth schedules. metadata
+    (num_metadata > 0) engages the QSPARNet ParaCALayer injections."""
+    min_ch: int = 32
+    max_ch: int = 128
+    in_size: int = 128
+    out_size: int = 128
+    min_feat_size: int = 16
+    res_depth: int = 10
+    bottleneck_size: int = 4
+    att_name: str = "spar"
+    norm_type: str = "bn"
+    relu_type: str = "leakyrelu"
+    num_metadata: int = 0
+    metadata_encoder_only: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, metadata=None, train: bool = False):
         clip = lambda c: max(self.min_ch, min(c, self.max_ch))
-        n_ch = clip(self.max_ch // (self.down_steps + 1))
-        h = Conv(n_ch, 3, dtype=self.dtype)(x)
-        for _ in range(self.down_steps):
-            n_ch = n_ch * 2
-            h = SPARBlock(clip(n_ch), scale="down", dtype=self.dtype)(h)
-        for _ in range(self.res_depth):
-            h = SPARBlock(clip(n_ch), dtype=self.dtype)(h)
-            if self.num_metadata > 0 and metadata is not None:
-                h = ParaCALayer(clip(n_ch), self.num_metadata,
-                                nonlinearity=True,
-                                dtype=self.dtype)(h, metadata)
-        for _ in range(self.down_steps):
-            h = SPARBlock(clip(n_ch // 2), scale="up", dtype=self.dtype)(h)
-            n_ch = n_ch // 2
-        return Conv(3, 3, dtype=self.dtype)(h)
+        down_steps = int(math.log2(self.in_size // self.min_feat_size))
+        up_steps = int(math.log2(self.out_size // self.min_feat_size))
+        n_ch = clip(self.max_ch // (down_steps + 1))
+        nr = dict(att_name=self.att_name, norm=self.norm_type,
+                  relu=self.relu_type, dtype=self.dtype)
+        trunk_meta = (0 if self.metadata_encoder_only
+                      else self.num_metadata)
+
+        h = SPConv(n_ch, 3, dtype=self.dtype)(x, train)
+        hg_depth = int(math.log2(64 // self.bottleneck_size))
+        for _ in range(down_steps):
+            cin, cout = clip(n_ch), clip(n_ch * 2)
+            h = SPARResidualBlock(cin, cout, scale="down",
+                                  hg_depth=hg_depth,
+                                  num_metadata=self.num_metadata,
+                                  **nr)(h, metadata, train)
+            n_ch *= 2
+            hg_depth -= 1
+        hg_depth += 1
+        for _ in range(self.res_depth + 3 - down_steps):
+            c = clip(n_ch)
+            h = SPARResidualBlock(c, c, hg_depth=hg_depth,
+                                  num_metadata=trunk_meta,
+                                  **nr)(h, metadata, train)
+        for _ in range(up_steps):
+            hg_depth += 1
+            cin, cout = clip(n_ch), clip(n_ch // 2)
+            h = SPARResidualBlock(cin, cout, scale="up",
+                                  hg_depth=hg_depth,
+                                  num_metadata=trunk_meta,
+                                  **nr)(h, metadata, train)
+            n_ch //= 2
+        return SPConv(3, 3, dtype=self.dtype)(h, train)
+
+
+class _BNHandlerMixin:
+    """Threads mutable batch_stats through extra['vars'] (the norm layers
+    in SPARNet are BatchNorm by default)."""
+
+    def apply(self, params, batch, train=False, rng=None, extra=None):
+        variables = {"params": params}
+        bstats = (extra or {}).get("vars", {}).get("batch_stats")
+        if bstats:
+            variables["batch_stats"] = bstats
+        args = [batch["lr"]]
+        if getattr(self, "uses_metadata", False):
+            meta = batch.get("metadata")
+            if meta is None:
+                raise RuntimeError("Metadata needs to be specified for "
+                                   "this network to run properly.")
+            args.append(meta.astype(jnp.float32))
+        if train and bstats:
+            sr, mut = self.module.apply(variables, *args, train=True,
+                                        mutable=["batch_stats"])
+            new_extra = dict(extra)
+            new_extra["vars"] = {"batch_stats": mut["batch_stats"]}
+            return sr, {}, new_extra
+        sr = self.module.apply(variables, *args, train=False)
+        return sr, {}, extra
+
+    def init_state(self, seed=None):
+        state = super().init_state(seed)
+        rng = jax.random.PRNGKey(self.seed if seed is None else seed)
+        variables = self.module.init(rng, *self.example_inputs())
+        extra = dict(state.extra)
+        extra["vars"] = {"batch_stats": variables.get("batch_stats", {})}
+        return state.replace(params=variables["params"],
+                             opt_state=self.tx.init(variables["params"]),
+                             extra=extra)
 
 
 @register_model("sparnet")
-class SPARNetHandler(BaseHandler):
+class SPARNetHandler(_BNHandlerMixin, BaseHandler):
     """Face SR at fixed size: input is the bicubic-upsampled LR
-    (im_input='interp'), output same size."""
+    (im_input='interp'), output same size (SPARNet/handlers.py:5-18)."""
     loss_type = "l1"
     colorspace = "rgb"
     im_input = "interp"
 
-    def __init__(self, min_ch=32, max_ch=128, down_steps=3, res_depth=10,
+    def __init__(self, min_ch=32, max_ch=128, in_size=128, out_size=128,
+                 min_feat_size=16, res_depth=10, bottleneck_size=4,
+                 att_name="spar", norm_type="bn", relu_type="leakyrelu",
                  **kwargs):
-        super().__init__(min_ch=min_ch, max_ch=max_ch,
-                         down_steps=down_steps, res_depth=res_depth,
-                         **kwargs)
+        super().__init__(min_ch=min_ch, max_ch=max_ch, in_size=in_size,
+                         out_size=out_size, min_feat_size=min_feat_size,
+                         res_depth=res_depth,
+                         bottleneck_size=bottleneck_size,
+                         att_name=att_name, norm_type=norm_type,
+                         relu_type=relu_type, **kwargs)
 
     def build_module(self, **kw):
         return SPARNet(dtype=self.dtype, **kw)
 
+    def example_inputs(self, batch: int = 1, size: int = None):
+        s = size or self.module.in_size
+        return (jnp.zeros((batch, s, s, 3), jnp.float32),)
+
 
 @register_model("qsparnet")
-class QSPARNetHandler(QModelHandler):
+class QSPARNetHandler(_BNHandlerMixin, QModelHandler):
     im_input = "interp"
 
-    def __init__(self, min_ch=32, max_ch=128, down_steps=3, res_depth=10,
-                 **kwargs):
-        super().__init__(min_ch=min_ch, max_ch=max_ch,
-                         down_steps=down_steps, res_depth=res_depth,
+    def __init__(self, min_ch=32, max_ch=128, in_size=128, out_size=128,
+                 min_feat_size=16, res_depth=10, bottleneck_size=4,
+                 att_name="spar", norm_type="bn", relu_type="leakyrelu",
+                 metadata_encoder_only=False, **kwargs):
+        super().__init__(min_ch=min_ch, max_ch=max_ch, in_size=in_size,
+                         out_size=out_size, min_feat_size=min_feat_size,
+                         res_depth=res_depth,
+                         bottleneck_size=bottleneck_size,
+                         att_name=att_name, norm_type=norm_type,
+                         relu_type=relu_type,
+                         metadata_encoder_only=metadata_encoder_only,
                          **kwargs)
 
     def build_module(self, **kw):
         return SPARNet(num_metadata=self.num_metadata, dtype=self.dtype,
                        **kw)
+
+    def example_inputs(self, batch: int = 1, size: int = None):
+        s = size or self.module.in_size
+        return (jnp.zeros((batch, s, s, 3), jnp.float32),
+                jnp.zeros((batch, self.num_metadata), jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -633,3 +633,72 @@ def test_dasr_encoder_forward_parity(ref_arch, rng):
             np.testing.assert_allclose(
                 np.asarray(got_out["dropdown_q"]),
                 ref_out["dropdown_q"].numpy(), atol=3e-4)
+
+
+def test_sparnet_forward_parity(ref_arch, rng):
+    """SPARNet + QSPARNet parity (SPARNet/{architectures,blocks}.py):
+    preact residual blocks with recursive hourglass spatial attention,
+    reflect-padded convs, BN, channel-clip schedule; Q variant injects
+    metadata via ParaCALayer in every block."""
+    _, _, torch = ref_arch
+    import importlib.util
+    import types as _t
+
+    sys.modules.setdefault("rumpy.SISR.models.SPARNet",
+                           _t.ModuleType("rumpy.SISR.models.SPARNet"))
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("rumpy.SISR.models.SPARNet.blocks", f"{REF}/SPARNet/blocks.py")
+    # architectures.py uses a relative import; load as a package member
+    spec = importlib.util.spec_from_file_location(
+        "rumpy.SISR.models.SPARNet.architectures",
+        f"{REF}/SPARNet/architectures.py")
+    sparch = importlib.util.module_from_spec(spec)
+    sys.modules["rumpy.SISR.models.SPARNet.architectures"] = sparch
+    spec.loader.exec_module(sparch)
+
+    import jax.numpy as jnp
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    cfg = dict(min_ch=8, max_ch=16, in_size=32, out_size=32,
+               min_feat_size=16, res_depth=1, bottleneck_size=16)
+    x = rng.random((1, 3, 32, 32)).astype(np.float32)
+
+    # plain SPARNet
+    torch.manual_seed(0)
+    net = sparch.SPARNet(**cfg)
+    net.eval()
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    h = get_model("sparnet")(scale=1, **cfg)
+    state = h.init_state()
+    params = convert_by_order(net.state_dict(), state.params)
+    state = state.replace(params=params)
+    got = np.asarray(h.run_eval(state, {"lr": jnp.asarray(
+        x.transpose(0, 2, 3, 1))}))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=3e-4)
+
+    # QSPARNet with 10-dim metadata in every block
+    torch.manual_seed(1)
+    qnet = sparch.QSPARNet(metadata_count=10, **cfg)
+    qnet.eval()
+    meta = rng.random((1, 10)).astype(np.float32)
+    with torch.no_grad():
+        qref = qnet(torch.from_numpy(x),
+                    torch.from_numpy(meta[..., None, None])).numpy()
+    qh = get_model("qsparnet")(scale=1, metadata_bypass_len=10, **cfg)
+    qstate = qh.init_state()
+    qparams = convert_by_order(qnet.state_dict(), qstate.params)
+    qstate = qstate.replace(params=qparams)
+    qgot = np.asarray(qh.run_eval(qstate, {
+        "lr": jnp.asarray(x.transpose(0, 2, 3, 1)),
+        "metadata": jnp.asarray(meta)}))
+    np.testing.assert_allclose(qgot.transpose(0, 3, 1, 2), qref,
+                               atol=3e-4)

@@ -10,26 +10,38 @@ from rumpy_tpu.registry import get_model
 
 
 def test_sparnet(rng):
-    h = get_model("sparnet")(scale=2, min_ch=8, max_ch=16, down_steps=2,
-                             res_depth=2)
+    h = get_model("sparnet")(scale=2, min_ch=8, max_ch=16, in_size=32,
+                             out_size=32, min_feat_size=16, res_depth=1,
+                             bottleneck_size=16)
     state = h.init_state()
-    batch = {"lr": rng.random((1, 16, 16, 3)).astype(np.float32),
-             "hr": rng.random((1, 16, 16, 3)).astype(np.float32)}
+    batch = {"lr": rng.random((1, 32, 32, 3)).astype(np.float32),
+             "hr": rng.random((1, 32, 32, 3)).astype(np.float32)}
     sr = h.run_eval(state, batch)
-    assert sr.shape == (1, 16, 16, 3)
-    _, losses = h.train_batch(state, batch)
+    assert sr.shape == (1, 32, 32, 3)
+    import jax
+    # host copies BEFORE train_batch: the step donates the state buffers
+    before = [np.asarray(v) for v in jax.tree_util.tree_leaves(
+        state.extra["vars"]["batch_stats"])]
+    state2, losses = h.train_batch(state, batch)
     assert np.isfinite(float(losses["train-loss"]))
+    # BatchNorm running stats advanced through extra['vars']
+    after = jax.tree_util.tree_leaves(
+        state2.extra["vars"]["batch_stats"])
+    assert any(np.abs(np.asarray(a) - b).max() > 0
+               for a, b in zip(after, before))
 
 
 def test_qsparnet(rng):
     h = get_model("qsparnet")(scale=2, metadata=["all"], min_ch=8,
-                              max_ch=16, down_steps=1, res_depth=1)
+                              max_ch=16, in_size=32, out_size=32,
+                              min_feat_size=16, res_depth=1,
+                              bottleneck_size=16)
     assert h.num_metadata == 40
     state = h.init_state()
-    batch = {"lr": rng.random((1, 16, 16, 3)).astype(np.float32),
+    batch = {"lr": rng.random((1, 32, 32, 3)).astype(np.float32),
              "metadata": rng.random((1, 40)).astype(np.float32)}
     sr = h.run_eval(state, batch)
-    assert sr.shape == (1, 16, 16, 3)
+    assert sr.shape == (1, 32, 32, 3)
 
 
 def test_rcansplit(rng):
