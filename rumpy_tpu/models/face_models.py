@@ -501,28 +501,8 @@ class FSSRHandler(BaseGANHandler):
 
 
 # ---------------------------------------------------------------------------
-# Attribute-conditioned face GANs
-# ---------------------------------------------------------------------------
-
-@register_model("facesrattributesgan")
-class FaceSRAttributesGANHandler(QRealESRGANHandler):
-    """Attribute-conditioned face-SR GAN: celeba attributes modulate the
-    RRDB trunk (compact realization of face_attributes_gan_models)."""
-
-    def __init__(self, metadata=None, **kwargs):
-        super().__init__(metadata=metadata or ["all"], **kwargs)
-
-
-@register_model("agagan")
-class AGAGANHandler(FaceSRAttributesGANHandler):
-    pass
-
-
-@register_model("fmfnet")
-class FMFNetHandler(FaceSRAttributesGANHandler):
-    pass
-
-
+# Attribute-conditioned face GANs: full ports live in
+# models/face_attribute_gans.py (FaceSRAttributesGAN / AGAGAN / FMFNet).
 # ---------------------------------------------------------------------------
 # Unconditional face GAN (generative_face_models/)
 # ---------------------------------------------------------------------------

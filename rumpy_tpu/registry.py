@@ -28,6 +28,7 @@ _MODEL_MODULES = [
     "rumpy_tpu.models.dan",
     "rumpy_tpu.models.dasr",
     "rumpy_tpu.models.face_models",
+    "rumpy_tpu.models.face_attribute_gans",
     "rumpy_tpu.models.ikc",
     "rumpy_tpu.models.han_elan",
     "rumpy_tpu.models.regressors",
