@@ -153,6 +153,12 @@ class SISRInterface:
             batch["hr"] = jnp.asarray(hr)
         if metadata is not None and np.size(metadata):
             batch["metadata"] = jnp.asarray(metadata)
+        # Handlers that need image names on host (e.g. DIC's landmark
+        # lookup, reference handlers.py:56-69) declare wants_tags; the
+        # handler pops them before the jitted step sees the batch.
+        if kwargs.get("tags") is not None and getattr(
+                self.model, "wants_tags", False):
+            batch["tags"] = list(kwargs["tags"])
         self.state, losses = self.model.train_batch(self.state, batch)
         return {k: float(v) for k, v in losses.items()}
 

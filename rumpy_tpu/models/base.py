@@ -194,6 +194,11 @@ class BaseHandler:
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(self.seed if seed is None else seed)
         prng, erng, srng = jax.random.split(rng, 3)
+        # NOTE: eager init on purpose — jax.jit would canonicalize the
+        # param tree to key-sorted dicts, breaking convert_by_order's
+        # insertion-order contract for auto-named modules. Handlers whose
+        # modules carry explicit sort==call-order layer names (dic,
+        # wavelet, fssr) override with a jitted init for speed.
         variables = self.module.init(prng, *self.example_inputs())
         params = variables["params"]
         opt_state = self.tx.init(params)

@@ -1,26 +1,20 @@
-"""Face-SR and legacy families.
-
-Reference status note: the reference marks most of these as WIP /
-"not validated" (Documentation/framework_development.md:92-115). They are
-implemented here compactly but functionally:
+"""Face-SR families: SPARNet/QSPARNet, RCANSplitCeleb, FaceGAN.
 
   * SPARNet / QSPARNet — spatial-attention residual face SR
-    (SISR/models/SPARNet/): encoder-body-decoder with hourglass spatial
-    attention; Q variant injects metadata via ParaCALayer.
-  * RCANSplitCeleb — attribute-gated ensemble of two RCANs
-    (ensemble_models/handlers.py:8): per-example output selection by a
-    binary celeba attribute.
-  * WaveletNet — wavelet-domain SR (waveletnets/): predicts Haar subbands
-    of the HR image, reconstructed by inverse DWT.
-  * DICNet — deep iterative collaboration face SR (DICnets/, reference
-    marks "not validated"): compact iterative refinement with a landmark-
-    heatmap attention branch.
-  * FSSR — frequency-separation GAN (implicit_blind_sr/): L1 on the
-    low-frequency band, adversarial on the high-frequency band.
-  * FaceSRAttributesGAN / AGAGAN / FMFNet — attribute-conditioned GAN SR
-    (face_attributes_gan_models/): realized as metadata-conditioned RRDB
-    GANs consuming the 39 celeba attributes (documented simplification of
-    the reference's three bespoke generators).
+    (SISR/models/SPARNet/): reference-exact encoder-body-decoder with
+    hourglass spatial attention; Q variant injects metadata via
+    ParaCALayer (forward parity-tested in tests/test_arch_parity.py).
+  * RCANSplitCeleb — attribute-split two-RCAN ensemble
+    (ensemble_models/handlers.py:8): the reference partitions each batch
+    on host and runs each child on its dynamic-size split; here both
+    experts see the static-shape batch and a per-example attribute mask
+    selects outputs/gradients (TPU-first: no data-dependent shapes, each
+    expert still only receives gradients from its allocation).
+  * FaceGAN — unconditional DCGAN (generative_face_models/).
+
+Siblings: models/wavelet.py (WaveletSRNet/GAN), models/dic.py (DIC),
+models/fssr.py (ESRGAN-FS, FSSR-DSGAN), models/face_attribute_gans.py
+(FaceSR-Attributes-GAN / AGA-GAN / FMFNet full ports).
 """
 
 from __future__ import annotations
@@ -363,143 +357,8 @@ class RCANSplitCelebHandler(BaseHandler):
 
 
 # ---------------------------------------------------------------------------
-# Wavelet SR
-# ---------------------------------------------------------------------------
-
-def haar_dwt(x):
-    """One-level Haar DWT on NHWC -> (N, H/2, W/2, 4C) [LL, LH, HL, HH]."""
-    a = x[:, 0::2, 0::2]
-    b = x[:, 0::2, 1::2]
-    c = x[:, 1::2, 0::2]
-    d = x[:, 1::2, 1::2]
-    ll = (a + b + c + d) / 2
-    lh = (-a - b + c + d) / 2
-    hl = (-a + b - c + d) / 2
-    hh = (a - b - c + d) / 2
-    return jnp.concatenate([ll, lh, hl, hh], axis=-1)
-
-
-def haar_iwt(x):
-    """Inverse of :func:`haar_dwt`."""
-    c4 = x.shape[-1] // 4
-    ll, lh, hl, hh = (x[..., i * c4:(i + 1) * c4] for i in range(4))
-    a = (ll - lh - hl + hh) / 2
-    b = (ll - lh + hl - hh) / 2
-    c = (ll + lh - hl - hh) / 2
-    d = (ll + lh + hl + hh) / 2
-    n, h, w, _ = x.shape
-    out = jnp.zeros((n, h * 2, w * 2, c4), x.dtype)
-    out = out.at[:, 0::2, 0::2].set(a)
-    out = out.at[:, 0::2, 1::2].set(b)
-    out = out.at[:, 1::2, 0::2].set(c)
-    out = out.at[:, 1::2, 1::2].set(d)
-    return out
-
-
-@register_model("waveletnet")
-class WaveletNetHandler(BaseHandler):
-    """Wavelet-domain SR: a conv net predicts the Haar subbands of the HR
-    image from the LR input; pixels come back via inverse DWT."""
-    loss_type = "l1"
-    colorspace = "rgb"
-
-    def __init__(self, nf=64, nb=8, **kwargs):
-        super().__init__(nf=nf, nb=nb, **kwargs)
-
-    def build_module(self, nf, nb):
-        scale, dtype = self.scale, self.dtype
-
-        class _WaveletNet(nn.Module):
-            @nn.compact
-            def __call__(self, x):
-                h = Conv(nf, 3, dtype=dtype)(x)
-                for _ in range(nb):
-                    r = Conv(nf, 3, dtype=dtype)(h)
-                    r = nn.relu(r)
-                    r = Conv(nf, 3, dtype=dtype)(r)
-                    h = h + r
-                # predict subbands at scale/2 resolution, upsampled by
-                # pixel shuffle, then IWT doubles to full scale
-                sub = Conv(3 * 4 * scale * scale // 4, 3, dtype=dtype)(h)
-                sub = pixel_shuffle(sub, scale // 2) if scale > 1 else sub
-                return haar_iwt(sub)
-
-        return _WaveletNet()
-
-
-# ---------------------------------------------------------------------------
-# DIC (iterative face SR)
-# ---------------------------------------------------------------------------
-
-@register_model("dicnet")
-class DICNetHandler(BaseHandler):
-    """Deep iterative collaboration (compact): SR and landmark-heatmap
-    branches alternate for `iterations` steps, the heatmap gating the SR
-    features spatially. The reference marks DICnets "not validated"."""
-    loss_type = "l1"
-    colorspace = "rgb"
-
-    def __init__(self, nf=48, iterations=3, num_landmarks=5, **kwargs):
-        super().__init__(nf=nf, iterations=iterations,
-                         num_landmarks=num_landmarks, **kwargs)
-
-    def build_module(self, nf, iterations, num_landmarks):
-        scale, dtype = self.scale, self.dtype
-
-        class _DIC(nn.Module):
-            def setup(self):
-                self.head = Conv(nf, 3, dtype=dtype)
-                self.sr_block = nn.Sequential([
-                    Conv(nf, 3, dtype=dtype), nn.relu,
-                    Conv(nf, 3, dtype=dtype), nn.relu])
-                self.heatmap = Conv(num_landmarks, 3, dtype=dtype)
-                self.fuse = Conv(nf, 1, dtype=dtype)
-                self.tail = Conv(3 * scale * scale, 3, dtype=dtype)
-
-            def __call__(self, x):
-                h = self.head(x)
-                for _ in range(iterations):
-                    feat = self.sr_block(h)
-                    hm = nn.softmax(self.heatmap(feat), axis=-1)
-                    att = jnp.max(hm, axis=-1, keepdims=True)
-                    h = self.fuse(jnp.concatenate(
-                        [feat * (1 + att), h], axis=-1))
-                return pixel_shuffle(self.tail(h), scale)
-
-        return _DIC()
-
-
-# ---------------------------------------------------------------------------
-# FSSR (frequency-separation GAN)
-# ---------------------------------------------------------------------------
-
-def _lowpass(x, k: int = 5):
-    kernel = jnp.ones((k, k), jnp.float32) / (k * k)
-    from rumpy_tpu.ops.blur import apply_kernels
-    return apply_kernels(x, jnp.broadcast_to(kernel,
-                                             (x.shape[0], k, k)))
-
-
-@register_model("fssr")
-class FSSRHandler(BaseGANHandler):
-    """Frequency-separation SR GAN (implicit_blind_sr/): pixel L1 on the
-    low-frequency band, adversarial supervision on the high-frequency
-    band only."""
-    gan_mode = "lsgan"
-    discriminator_type = "unet_sn"
-
-    def _adv_g_loss(self, pred_fake, pred_real):
-        return jnp.mean((pred_fake - 1.0) ** 2)
-
-    def _gan_step_impl(self, state, batch, vgg_params=None):
-        # high-frequency components drive the discriminator
-        hf_batch = dict(batch)
-        hf_batch["hr"] = batch["hr"] - _lowpass(batch["hr"])
-        # low-frequency L1 handled via pixel loss on lowpass pairs: fold
-        # into the standard step by pre-filtering copies.
-        return super()._gan_step_impl(state, batch, vgg_params)
-
-
+# WaveletSRNet/WaveletSRGAN live in models/wavelet.py; DIC in models/dic.py;
+# ESRGAN-FS + FSSR-DSGAN in models/fssr.py (all reference-exact ports).
 # ---------------------------------------------------------------------------
 # Attribute-conditioned face GANs: full ports live in
 # models/face_attribute_gans.py (FaceSRAttributesGAN / AGAGAN / FMFNet).

@@ -270,6 +270,16 @@ class BaseGANHandler(BaseHandler):
 
     # -- training ----------------------------------------------------------
 
+    # -- frequency-separation hooks (ESRGAN-FS overrides these;
+    #    implicit_blind_sr/handlers.py:24-51) --------------------------------
+    def _pixel_pair(self, sr, hr):
+        """Images the pixel loss compares (identity by default)."""
+        return sr, hr
+
+    def _disc_input(self, img):
+        """Image the discriminator sees (identity by default)."""
+        return img
+
     def _adv_g_loss(self, pred_fake, pred_real):
         if self.gan_mode == "relativistic":
             # relativistic average GAN (ESRGAN)
@@ -302,11 +312,15 @@ class BaseGANHandler(BaseHandler):
         def g_loss_fn(g_params):
             sr, _, _ = self.apply({"generator": g_params}, batch,
                                   train=True, extra=extra)
-            pixel = jnp.mean(jnp.abs(sr - batch["hr"]))
+            pp_sr, pp_hr = self._pixel_pair(sr, batch["hr"])
+            pixel = jnp.mean(jnp.abs(pp_sr - pp_hr))
             pred_fake, _ = self._disc_apply(state.params["discriminator"],
-                                            d_vars, sr, False)
+                                            d_vars, self._disc_input(sr),
+                                            False)
             pred_real, _ = self._disc_apply(state.params["discriminator"],
-                                            d_vars, batch["hr"], False)
+                                            d_vars,
+                                            self._disc_input(batch["hr"]),
+                                            False)
             adv = self._adv_g_loss(pred_fake,
                                    jax.lax.stop_gradient(pred_real))
             # VGG-19 content term (generator_update,
@@ -334,10 +348,10 @@ class BaseGANHandler(BaseHandler):
         sr_detached = jax.lax.stop_gradient(sr)
 
         def d_loss_fn(d_params):
-            pred_real, new_vars = self._disc_apply(d_params, d_vars,
-                                                   batch["hr"], True)
-            pred_fake, new_vars = self._disc_apply(d_params, new_vars,
-                                                   sr_detached, True)
+            pred_real, new_vars = self._disc_apply(
+                d_params, d_vars, self._disc_input(batch["hr"]), True)
+            pred_fake, new_vars = self._disc_apply(
+                d_params, new_vars, self._disc_input(sr_detached), True)
             loss_real, loss_fake = self._adv_d_loss(pred_fake, pred_real)
             return loss_real + loss_fake, (loss_real, loss_fake, new_vars)
 

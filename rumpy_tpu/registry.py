@@ -29,6 +29,9 @@ _MODEL_MODULES = [
     "rumpy_tpu.models.dasr",
     "rumpy_tpu.models.face_models",
     "rumpy_tpu.models.face_attribute_gans",
+    "rumpy_tpu.models.dic",
+    "rumpy_tpu.models.wavelet",
+    "rumpy_tpu.models.fssr",
     "rumpy_tpu.models.ikc",
     "rumpy_tpu.models.han_elan",
     "rumpy_tpu.models.regressors",

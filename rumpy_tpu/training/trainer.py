@@ -201,7 +201,8 @@ class TrainingHandler:
             device_batch = self._put(batch)
             losses = self.model.train_batch(
                 lr=device_batch.get("lr"), hr=device_batch.get("hr"),
-                metadata=device_batch.get("metadata"))
+                metadata=device_batch.get("metadata"),
+                tags=batch.get("tag"))
             for k, v in losses.items():
                 agg[k].append(v)
             step_idx += 1

@@ -63,14 +63,21 @@ class LPIPS:
 
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """a, b: (N, H, W, 3) in [0, 1]. Returns (N,) distances."""
+        return self.distance(a, b)
+
+    def distance(self, a, b, params=None, lins=None) -> jnp.ndarray:
+        """Like __call__, but weights may be passed explicitly so jitted
+        callers can feed them as arguments instead of trace constants."""
+        params = self.params if params is None else params
+        lins = self.lins if lins is None else lins
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
         an = (a * 2 - 1 - shift) / scale
         bn = (b * 2 - 1 - shift) / scale
-        fa = self.backbone.apply({"params": self.params}, an)
-        fb = self.backbone.apply({"params": self.params}, bn)
+        fa = self.backbone.apply({"params": params}, an)
+        fb = self.backbone.apply({"params": params}, bn)
         total = 0.0
-        for ta, tb, lin in zip(fa, fb, self.lins):
+        for ta, tb, lin in zip(fa, fb, lins):
             na = ta / (jnp.linalg.norm(ta, axis=-1, keepdims=True) + 1e-10)
             nb = tb / (jnp.linalg.norm(tb, axis=-1, keepdims=True) + 1e-10)
             diff = (na - nb) ** 2

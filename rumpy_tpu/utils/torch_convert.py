@@ -26,7 +26,18 @@ import numpy as np
 def _flatten_with_paths(tree, prefix=()):
     out: List[Tuple[Tuple[str, ...], Any]] = []
     if isinstance(tree, dict):
-        for k in tree.keys():  # insertion order == creation order in flax
+        # Insertion order == creation order for eagerly-initialized flax
+        # trees; trees that crossed a jax.jit boundary come back
+        # key-SORTED, which at the leaf level puts 'bias' before
+        # 'kernel'/'scale'. Canonicalize those two known leaf layouts so
+        # both orderings convert identically (module-level order is then
+        # the caller's concern: explicit sort==call-order names).
+        keys = list(tree.keys())
+        if set(keys) == {"kernel", "bias"}:
+            keys = ["kernel", "bias"]
+        elif set(keys) == {"scale", "bias"}:
+            keys = ["scale", "bias"]
+        for k in keys:
             out.extend(_flatten_with_paths(tree[k], prefix + (k,)))
     else:
         out.append((prefix, tree))

@@ -58,8 +58,8 @@ def test_rcansplit(rng):
 
 
 @pytest.mark.parametrize("scale", [2, 4])
-def test_waveletnet(rng, scale):
-    h = get_model("waveletnet")(scale=scale, nf=8, nb=1)
+def test_waveletsrnet(rng, scale):
+    h = get_model("waveletsrnet")(scale=scale, num_layers_res=1)
     state = h.init_state()
     batch = {"lr": rng.random((1, 8, 8, 3)).astype(np.float32),
              "hr": rng.random((1, 8 * scale, 8 * scale, 3)
@@ -67,42 +67,78 @@ def test_waveletnet(rng, scale):
     sr = h.run_eval(state, batch)
     assert sr.shape == (1, 8 * scale, 8 * scale, 3)
     _, losses = h.train_batch(state, batch)
-    assert np.isfinite(float(losses["train-loss"]))
+    for k in ("train-loss", "wavelet_lr_loss", "wavelet_hr_loss",
+              "img_loss", "texture_loss"):
+        assert np.isfinite(float(losses[k])), k
 
 
-def test_haar_roundtrip(rng):
-    from rumpy_tpu.models.face_models import haar_dwt, haar_iwt
-    x = rng.random((1, 8, 8, 3)).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(haar_iwt(haar_dwt(x))), x,
-                               atol=1e-6)
-
-
-def test_dicnet(rng):
-    h = get_model("dicnet")(scale=2, nf=8, iterations=2)
+def test_dic_train_with_landmarks(rng):
+    h = get_model("dic")(scale=4, num_steps=2, num_features=8,
+                         num_groups=2, hg_num_feature=16,
+                         num_fusion_block=1)
     state = h.init_state()
     batch = {"lr": rng.random((1, 8, 8, 3)).astype(np.float32),
-             "hr": rng.random((1, 16, 16, 3)).astype(np.float32)}
+             "hr": rng.random((1, 32, 32, 3)).astype(np.float32),
+             "landmarks": (rng.random((1, 68, 2)) * 32
+                           ).astype(np.float32)}
     sr = h.run_eval(state, batch)
-    assert sr.shape == (1, 16, 16, 3)
+    assert sr.shape == (1, 32, 32, 3)
+    import jax
+    # host copies BEFORE train_batch: the step donates the state buffers
+    hg_before = [np.asarray(v) for v in
+                 jax.tree_util.tree_leaves(state.params["hg"])]
+    body_before = [np.asarray(v) for v in
+                   jax.tree_util.tree_leaves(state.params["first_block"])]
+    state2, losses = h.train_batch(state, batch)
+    assert float(losses["align_loss"]) > 0
+    assert np.isfinite(float(losses["train-loss"]))
+    # hourglass grads are masked until hg_release_step (reference freezes
+    # the HG for the first 2M steps, handlers.py:95-102)
+    hg_after = jax.tree_util.tree_leaves(state2.params["hg"])
+    assert all(np.allclose(np.asarray(a), b)
+               for a, b in zip(hg_after, hg_before))
+    body_after = jax.tree_util.tree_leaves(state2.params["first_block"])
+    assert any(np.abs(np.asarray(a) - b).max() > 0
+               for a, b in zip(body_after, body_before))
 
 
-def test_fssr(rng):
-    h = get_model("fssr")(scale=4, pretrain_epochs=0, nf=8, nb=1, gc=4,
-                          lr=1e-3)
+def test_esrganfs_step(rng):
+    h = get_model("esrganfs")(scale=4, pretrain_epochs=0, nf=8, nb=1,
+                              gc=4, lr=1e-3, discriminator="unet")
     h.set_epoch(0)
     state = h.init_state()
     batch = {"lr": rng.random((1, 16, 16, 3)).astype(np.float32),
              "hr": rng.random((1, 64, 64, 3)).astype(np.float32)}
     state, losses = h.train_batch(state, batch)
     assert np.isfinite(float(losses["train-loss"]))
+    assert np.isfinite(float(losses["gan-loss"]))
+
+
+def test_fssrdsgan_step(rng):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        get_model("fssrdsgan")()  # perceptual loss needs LPIPS weights
+    h = get_model("fssrdsgan")(use_perceptual_loss=False, n_res_blocks=1)
+    h.set_epoch(200)  # inside the linear-decay tail
+    assert 0.0 < h._lr_factor() < 1.0
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 12, 12, 3)).astype(np.float32),
+             "hr": rng.random((1, 12, 12, 3)).astype(np.float32)}
+    state, losses = h.train_batch(state, batch)
+    for k in ("train-loss", "discriminator-loss", "color-loss",
+              "texture-loss"):
+        assert np.isfinite(float(losses[k])), k
+    out = h.run_eval(state, batch)
+    assert out.shape == (1, 12, 12, 3)
 
 
 def test_face_attribute_gans_registered():
     from rumpy_tpu.registry import available_models
     models = available_models()
     for name in ["facesrattributesgan", "agagan", "fmfnet", "swinir",
-                 "sparnet", "waveletnet", "dicnet", "fssr", "dasr", "dcls",
-                 "san", "qsan", "ikc", "sftmd", "dan"]:
+                 "sparnet", "waveletnet", "waveletsrnet", "waveletsrgan",
+                 "dic", "dicnet", "fssr", "esrganfs", "fssrdsgan", "dasr",
+                 "dcls", "san", "qsan", "ikc", "sftmd", "dan"]:
         assert name in models, name
 
 
