@@ -140,85 +140,609 @@ void pil_resize_u8(const uint8_t* src, int h, int w, int ch,
   }
 }
 
+// ---------------------------------------------------------------------------
+// H.264 intra-frame codec (ITU-T H.264 / ISO 14496-10 toolchain):
+// 4x4 luma intra prediction (all 9 modes, SAD mode decision, causal
+// reconstruction dependency), 8x8 chroma prediction (DC/H/V/plane), the
+// 4x4 integer transform with the spec's quantization multiplier/rescale
+// tables, the 2x2 chroma-DC Hadamard stage, the chroma-QP mapping, and
+// the in-loop deblocking filter (bS=4 on macroblock edges, bS=3 on
+// internal 4x4 edges, spec alpha/beta/tc0 tables). This mirrors what the
+// JM encoder does in its IntraPeriod=1 configuration minus entropy
+// coding and RD-optimized mode decision (our mode choice is min-SAD, and
+// blocks are coded in plane raster order), so outputs are
+// distribution-faithful but not bit-exact to JM.
+// ---------------------------------------------------------------------------
+
+namespace h264 {
+
+static const int kMF[6][3] = {  // quant multipliers per qp%6, pos class
+    {13107, 5243, 8066}, {11916, 4660, 7490}, {10082, 4194, 6554},
+    {9362, 3647, 5825},  {8192, 3355, 5243},  {7282, 2893, 4559}};
+static const int kV[6][3] = {   // dequant rescale per qp%6, pos class
+    {10, 16, 13}, {11, 18, 14}, {13, 20, 16},
+    {14, 23, 18}, {16, 25, 20}, {18, 29, 23}};
+
+inline int pos_class(int i, int j) {
+  bool ie = (i & 1) == 0, je = (j & 1) == 0;
+  if (ie && je) return 0;
+  if (!ie && !je) return 1;
+  return 2;
+}
+
+// Table 8-15: luma QP -> chroma QP
+inline int chroma_qp(int qp) {
+  static const int tab[22] = {29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+                              36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39};
+  if (qp < 30) return qp;
+  return tab[std::min(qp, 51) - 30];
+}
+
+// Deblocking tables (Table 8-16): alpha/beta per index 0..51
+static const int kAlpha[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+    203, 226, 255, 255};
+static const int kBeta[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+    17, 17, 18, 18};
+// Table 8-17 tc0, column for bS=3 (internal intra edges)
+static const int kTc0Bs3[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+    3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16,
+    18, 20, 23, 25};
+
+inline int clip255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+inline int iclip(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// forward core transform W = Cf X CfT
+void fwd4x4(const int in[16], int out[16]) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {  // rows
+    const int* r = &in[i * 4];
+    int s03 = r[0] + r[3], d03 = r[0] - r[3];
+    int s12 = r[1] + r[2], d12 = r[1] - r[2];
+    tmp[i * 4 + 0] = s03 + s12;
+    tmp[i * 4 + 1] = 2 * d03 + d12;
+    tmp[i * 4 + 2] = s03 - s12;
+    tmp[i * 4 + 3] = d03 - 2 * d12;
+  }
+  for (int j = 0; j < 4; ++j) {  // cols
+    int c0 = tmp[0 * 4 + j], c1 = tmp[1 * 4 + j], c2 = tmp[2 * 4 + j],
+        c3 = tmp[3 * 4 + j];
+    int s03 = c0 + c3, d03 = c0 - c3;
+    int s12 = c1 + c2, d12 = c1 - c2;
+    out[0 * 4 + j] = s03 + s12;
+    out[1 * 4 + j] = 2 * d03 + d12;
+    out[2 * 4 + j] = s03 - s12;
+    out[3 * 4 + j] = d03 - 2 * d12;
+  }
+}
+
+// inverse core transform with final (x + 32) >> 6
+void inv4x4(const int in[16], int out[16]) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {  // rows
+    const int* r = &in[i * 4];
+    int e0 = r[0] + r[2], e1 = r[0] - r[2];
+    int e2 = (r[1] >> 1) - r[3], e3 = r[1] + (r[3] >> 1);
+    tmp[i * 4 + 0] = e0 + e3;
+    tmp[i * 4 + 1] = e1 + e2;
+    tmp[i * 4 + 2] = e1 - e2;
+    tmp[i * 4 + 3] = e0 - e3;
+  }
+  for (int j = 0; j < 4; ++j) {  // cols
+    int c0 = tmp[0 * 4 + j], c1 = tmp[1 * 4 + j], c2 = tmp[2 * 4 + j],
+        c3 = tmp[3 * 4 + j];
+    int e0 = c0 + c2, e1 = c0 - c2;
+    int e2 = (c1 >> 1) - c3, e3 = c1 + (c3 >> 1);
+    out[0 * 4 + j] = (e0 + e3 + 32) >> 6;
+    out[1 * 4 + j] = (e1 + e2 + 32) >> 6;
+    out[2 * 4 + j] = (e1 - e2 + 32) >> 6;
+    out[3 * 4 + j] = (e0 - e3 + 32) >> 6;
+  }
+}
+
+// residual -> transform/quant/dequant/inverse -> reconstructed residual
+void tq4x4(const int res[16], int rec[16], int qp) {
+  int w[16], wq[16];
+  fwd4x4(res, w);
+  int qbits = 15 + qp / 6, rem = qp % 6;
+  int64_t f = (1LL << qbits) / 3;  // intra rounding offset
+  for (int i = 0; i < 4; ++i) {
+    for (int j = 0; j < 4; ++j) {
+      int idx = i * 4 + j;
+      int c = pos_class(i, j);
+      int64_t a = std::llabs((int64_t)w[idx]);
+      int z = (int)((a * kMF[rem][c] + f) >> qbits);
+      z = w[idx] < 0 ? -z : z;
+      wq[idx] = (z * kV[rem][c]) << (qp / 6);  // dequant
+    }
+  }
+  inv4x4(wq, rec);
+}
+
+// chroma-DC side path (spec 8.5.11 order): raw DC coefficients of the 4
+// sub-blocks -> 2x2 Hadamard -> quant -> inverse Hadamard -> dequant,
+// returning the scaled DC to inject into each block's inverse transform.
+void chroma_dc(const int dc_in[4], int dc_out[4], int qp) {
+  int qbits = 15 + qp / 6, rem = qp % 6;
+  int64_t f = (1LL << qbits) / 3;
+  int had[4] = {dc_in[0] + dc_in[1] + dc_in[2] + dc_in[3],
+                dc_in[0] - dc_in[1] + dc_in[2] - dc_in[3],
+                dc_in[0] + dc_in[1] - dc_in[2] - dc_in[3],
+                dc_in[0] - dc_in[1] - dc_in[2] + dc_in[3]};
+  int zq[4];
+  for (int k = 0; k < 4; ++k) {
+    int64_t a = std::llabs((int64_t)had[k]);
+    int z = (int)((a * kMF[rem][0] + 2 * f) >> (qbits + 1));
+    zq[k] = had[k] < 0 ? -z : z;
+  }
+  int ih[4] = {zq[0] + zq[1] + zq[2] + zq[3], zq[0] - zq[1] + zq[2] - zq[3],
+               zq[0] + zq[1] - zq[2] - zq[3], zq[0] - zq[1] - zq[2] + zq[3]};
+  for (int k = 0; k < 4; ++k) {
+    if (qp >= 6)
+      dc_out[k] = (ih[k] * kV[rem][0]) << (qp / 6 - 1);
+    else
+      dc_out[k] = (ih[k] * kV[rem][0]) >> 1;
+  }
+}
+
+struct Plane {
+  std::vector<uint8_t> d;
+  int h, w;
+  uint8_t at(int y, int x) const { return d[(size_t)y * w + x]; }
+  uint8_t& at(int y, int x) { return d[(size_t)y * w + x]; }
+};
+
+// prediction neighbors relative to block origin (by, bx): p(-1,-1)=corner,
+// p(x,-1)=above[x] (8 samples incl. above-right with the spec's
+// p[3,-1] substitution), p(-1,y)=left[y].
+struct Nbr {
+  int above[8];
+  int left[4];
+  int corner;
+  bool has_top, has_left;
+};
+
+Nbr gather(const Plane& rec, int by, int bx) {
+  Nbr n;
+  n.has_top = by > 0;
+  n.has_left = bx > 0;
+  bool has_tr = by > 0 && bx + 4 < rec.w;
+  for (int i = 0; i < 8; ++i) {
+    int x = bx + i;
+    if (i < 4)
+      n.above[i] = n.has_top ? rec.at(by - 1, std::min(x, rec.w - 1)) : 128;
+    else if (has_tr)
+      n.above[i] = rec.at(by - 1, std::min(x, rec.w - 1));
+    else if (n.has_top)
+      n.above[i] = rec.at(by - 1, bx + 3);  // p[3,-1] substitution
+    else
+      n.above[i] = 128;
+  }
+  for (int i = 0; i < 4; ++i)
+    n.left[i] =
+        n.has_left ? rec.at(std::min(by + i, rec.h - 1), bx - 1) : 128;
+  n.corner = (n.has_top && n.has_left) ? rec.at(by - 1, bx - 1) : 128;
+  return n;
+}
+
+// 9 luma 4x4 prediction modes (spec 8.3.1.2). pred[16] row-major.
+// Returns false if the mode's required neighbors are unavailable.
+bool predict4(const Nbr& n, int mode, int pred[16]) {
+  const int* t = n.above;
+  const int* l = n.left;
+  int m = n.corner;
+  auto P = [&](int y, int x, int v) { pred[y * 4 + x] = v; };
+  switch (mode) {
+    case 0:  // vertical
+      if (!n.has_top) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) P(y, x, t[x]);
+      return true;
+    case 1:  // horizontal
+      if (!n.has_left) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) P(y, x, l[y]);
+      return true;
+    case 2: {  // DC (always available, with fallbacks)
+      int v;
+      if (n.has_top && n.has_left)
+        v = (t[0] + t[1] + t[2] + t[3] + l[0] + l[1] + l[2] + l[3] + 4) >> 3;
+      else if (n.has_top)
+        v = (t[0] + t[1] + t[2] + t[3] + 2) >> 2;
+      else if (n.has_left)
+        v = (l[0] + l[1] + l[2] + l[3] + 2) >> 2;
+      else
+        v = 128;
+      for (int i = 0; i < 16; ++i) pred[i] = v;
+      return true;
+    }
+    case 3:  // diagonal down-left
+      if (!n.has_top) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          if (x == 3 && y == 3)
+            P(y, x, (t[6] + 3 * t[7] + 2) >> 2);
+          else
+            P(y, x, (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2);
+        }
+      return true;
+    case 4:  // diagonal down-right
+      if (!(n.has_top && n.has_left)) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          int k = x - y;
+          if (k > 0)
+            P(y, x,
+              ((k >= 2 ? t[k - 2] : m) + 2 * t[k - 1] + t[k] + 2) >> 2);
+          else if (k == 0)
+            P(y, x, (t[0] + 2 * m + l[0] + 2) >> 2);
+          else
+            P(y, x,
+              ((-k >= 2 ? l[-k - 2] : m) + 2 * l[-k - 1] + l[-k] + 2) >> 2);
+        }
+      return true;
+    case 5:  // vertical-right
+      if (!(n.has_top && n.has_left)) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          int z = 2 * x - y;
+          int i = x - (y >> 1);
+          if (z >= 0 && (z & 1) == 0)
+            P(y, x, ((i >= 1 ? t[i - 1] : m) + t[i] + 1) >> 1);
+          else if (z >= 1)
+            P(y, x, ((i >= 2 ? t[i - 2] : m) + 2 * (i >= 1 ? t[i - 1] : m) +
+                     t[i] + 2) >> 2);
+          else if (z == -1)
+            P(y, x, (l[0] + 2 * m + t[0] + 2) >> 2);
+          else
+            P(y, x, (l[y - 2 * x - 1] + 2 * l[y - 2 * x - 2] +
+                     (y - 2 * x - 3 >= 0 ? l[y - 2 * x - 3] : m) + 2) >> 2);
+        }
+      return true;
+    case 6:  // horizontal-down
+      if (!(n.has_top && n.has_left)) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          int z = 2 * y - x;
+          int i = y - (x >> 1);
+          if (z >= 0 && (z & 1) == 0)
+            P(y, x, ((i >= 1 ? l[i - 1] : m) + l[i] + 1) >> 1);
+          else if (z >= 1)
+            P(y, x, ((i >= 2 ? l[i - 2] : m) + 2 * (i >= 1 ? l[i - 1] : m) +
+                     l[i] + 2) >> 2);
+          else if (z == -1)
+            P(y, x, (t[0] + 2 * m + l[0] + 2) >> 2);
+          else
+            P(y, x, (t[x - 2 * y - 1] + 2 * t[x - 2 * y - 2] +
+                     (x - 2 * y - 3 >= 0 ? t[x - 2 * y - 3] : m) + 2) >> 2);
+        }
+      return true;
+    case 7:  // vertical-left
+      if (!n.has_top) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          int i = x + (y >> 1);
+          if ((y & 1) == 0)
+            P(y, x, (t[i] + t[i + 1] + 1) >> 1);
+          else
+            P(y, x, (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2);
+        }
+      return true;
+    case 8:  // horizontal-up
+      if (!n.has_left) return false;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+          int z = x + 2 * y;
+          int i = y + (x >> 1);
+          if (z > 5)
+            P(y, x, l[3]);
+          else if (z == 5)
+            P(y, x, (l[2] + 3 * l[3] + 2) >> 2);
+          else if ((z & 1) == 0)
+            P(y, x, (l[i] + l[i + 1] + 1) >> 1);
+          else
+            P(y, x, (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2);
+        }
+      return true;
+  }
+  return false;
+}
+
+// encode one plane of 4x4 intra blocks (luma path) in raster order so
+// every block predicts from already-reconstructed neighbors.
+void code_luma(Plane& rec, const std::vector<int>& src, int qp) {
+  for (int by = 0; by < rec.h; by += 4) {
+    for (int bx = 0; bx < rec.w; bx += 4) {
+      Nbr n = gather(rec, by, bx);
+      int blk[16];
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x)
+          blk[y * 4 + x] = src[(size_t)(by + y) * rec.w + bx + x];
+      int best_sad = 1 << 30, best_pred[16] = {0};
+      for (int mode = 0; mode < 9; ++mode) {
+        int pred[16];
+        if (!predict4(n, mode, pred)) continue;
+        int sad = 0;
+        for (int i = 0; i < 16; ++i) sad += std::abs(blk[i] - pred[i]);
+        if (sad < best_sad) {
+          best_sad = sad;
+          std::memcpy(best_pred, pred, sizeof(pred));
+        }
+      }
+      int res[16], rres[16];
+      for (int i = 0; i < 16; ++i) res[i] = blk[i] - best_pred[i];
+      tq4x4(res, rres, qp);
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x)
+          rec.at(by + y, bx + x) =
+              (uint8_t)clip255(best_pred[y * 4 + x] + rres[y * 4 + x]);
+    }
+  }
+}
+
+// 8x8 chroma prediction (spec 8.3.4): DC per quadrant, H, V, plane.
+void predict_chroma(const Plane& rec, int by, int bx, int mode,
+                    int pred[64]) {
+  bool has_top = by > 0, has_left = bx > 0;
+  int t[8], l[8];
+  for (int i = 0; i < 8; ++i) {
+    t[i] = has_top ? rec.at(by - 1, std::min(bx + i, rec.w - 1)) : 128;
+    l[i] = has_left ? rec.at(std::min(by + i, rec.h - 1), bx - 1) : 128;
+  }
+  if (mode == 1) {  // horizontal
+    for (int y = 0; y < 8; ++y)
+      for (int x = 0; x < 8; ++x) pred[y * 8 + x] = l[y];
+    return;
+  }
+  if (mode == 2) {  // vertical
+    for (int y = 0; y < 8; ++y)
+      for (int x = 0; x < 8; ++x) pred[y * 8 + x] = t[x];
+    return;
+  }
+  if (mode == 3) {  // plane (spec 8.3.4.4)
+    int corner = (has_top && has_left) ? rec.at(by - 1, bx - 1) : 128;
+    int hsum = 0, vsum = 0;
+    for (int i = 0; i < 4; ++i) {
+      hsum += (i + 1) * (t[4 + i] - (i < 3 ? t[2 - i] : corner));
+      vsum += (i + 1) * (l[4 + i] - (i < 3 ? l[2 - i] : corner));
+    }
+    int a = 16 * (l[7] + t[7]);
+    int b = (17 * hsum + 16) >> 5;
+    int c = (17 * vsum + 16) >> 5;
+    for (int y = 0; y < 8; ++y)
+      for (int x = 0; x < 8; ++x)
+        pred[y * 8 + x] =
+            clip255((a + b * (x - 3) + c * (y - 3) + 16) >> 5);
+    return;
+  }
+  // DC per 4x4 quadrant (spec 8.3.4.1: corner quadrants prefer their
+  // adjacent edge)
+  for (int qy = 0; qy < 2; ++qy) {
+    for (int qx = 0; qx < 2; ++qx) {
+      int st = 0, sl = 0, v;
+      for (int i = 0; i < 4; ++i) {
+        st += t[qx * 4 + i];
+        sl += l[qy * 4 + i];
+      }
+      if (qx == 1 && qy == 0 && has_top)
+        v = (st + 2) >> 2;
+      else if (qx == 0 && qy == 1 && has_left)
+        v = (sl + 2) >> 2;
+      else if (has_top && has_left)
+        v = (st + sl + 4) >> 3;
+      else if (has_top)
+        v = (st + 2) >> 2;
+      else if (has_left)
+        v = (sl + 2) >> 2;
+      else
+        v = 128;
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x)
+          pred[(qy * 4 + y) * 8 + qx * 4 + x] = v;
+    }
+  }
+}
+
+void code_chroma(Plane& rec, const std::vector<int>& src, int qp_luma) {
+  int qp = chroma_qp(qp_luma);
+  for (int by = 0; by < rec.h; by += 8) {
+    for (int bx = 0; bx < rec.w; bx += 8) {
+      int best_sad = 1 << 30, best_pred[64] = {0};
+      bool has_top = by > 0, has_left = bx > 0;
+      for (int mode = 0; mode < 4; ++mode) {
+        if (mode == 1 && !has_left) continue;
+        if (mode == 2 && !has_top) continue;
+        if (mode == 3 && !(has_top && has_left)) continue;
+        int pred[64];
+        predict_chroma(rec, by, bx, mode, pred);
+        int sad = 0;
+        for (int y = 0; y < 8; ++y)
+          for (int x = 0; x < 8; ++x)
+            sad += std::abs((int)src[(size_t)(by + y) * rec.w + bx + x] -
+                            pred[y * 8 + x]);
+        if (sad < best_sad) {
+          best_sad = sad;
+          std::memcpy(best_pred, pred, sizeof(pred));
+        }
+      }
+      // four 4x4 residual blocks: DC through the 2x2 Hadamard side path,
+      // AC through the normal quant
+      int dc_raw[4], w4[4][16], res[16];
+      for (int sb = 0; sb < 4; ++sb) {
+        int oy = (sb >> 1) * 4, ox = (sb & 1) * 4;
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            res[y * 4 + x] =
+                (int)src[(size_t)(by + oy + y) * rec.w + bx + ox + x] -
+                best_pred[(oy + y) * 8 + ox + x];
+        fwd4x4(res, w4[sb]);
+        dc_raw[sb] = w4[sb][0];
+      }
+      int dc_scaled[4];
+      chroma_dc(dc_raw, dc_scaled, qp);
+      int qbits = 15 + qp / 6, rem = qp % 6;
+      int64_t f = (1LL << qbits) / 3;
+      for (int sb = 0; sb < 4; ++sb) {
+        int oy = (sb >> 1) * 4, ox = (sb & 1) * 4;
+        int wq[16];
+        for (int i = 0; i < 4; ++i)
+          for (int j = 0; j < 4; ++j) {
+            int idx = i * 4 + j;
+            if (idx == 0) {
+              wq[0] = dc_scaled[sb];
+              continue;
+            }
+            int c = pos_class(i, j);
+            int64_t a = std::llabs((int64_t)w4[sb][idx]);
+            int z = (int)((a * kMF[rem][c] + f) >> qbits);
+            z = w4[sb][idx] < 0 ? -z : z;
+            wq[idx] = (z * kV[rem][c]) << (qp / 6);
+          }
+        int rres[16];
+        inv4x4(wq, rres);
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            rec.at(by + oy + y, bx + ox + x) = (uint8_t)clip255(
+                best_pred[(oy + y) * 8 + ox + x] + rres[y * 4 + x]);
+      }
+    }
+  }
+}
+
+// in-loop deblocking (spec 8.7). All-intra: bS=4 on macroblock edges,
+// bS=3 on internal transform edges. mb = macroblock size in this plane
+// (16 luma, 8 chroma).
+void deblock(Plane& p, int qp, int mb, bool chroma) {
+  int idx = iclip(qp, 0, 51);
+  int alpha = kAlpha[idx], beta = kBeta[idx];
+  if (alpha == 0) return;
+
+  auto filter_edge = [&](int y, int x, int dy, int dx, bool mb_edge) {
+    int q0 = p.at(y, x);
+    int p0 = p.at(y - dy, x - dx);
+    int p1 = p.at(y - 2 * dy, x - 2 * dx);
+    int q1 = p.at(y + dy, x + dx);
+    if (std::abs(p0 - q0) >= alpha || std::abs(p1 - p0) >= beta ||
+        std::abs(q1 - q0) >= beta)
+      return;
+    if (mb_edge && !chroma) {  // bS=4 luma strong filter
+      int p2 = p.at(y - 3 * dy, x - 3 * dx);
+      int p3 = p.at(y - 4 * dy, x - 4 * dx);
+      int q2 = p.at(y + 2 * dy, x + 2 * dx);
+      int q3 = p.at(y + 3 * dy, x + 3 * dx);
+      int ap = std::abs(p2 - p0), aq = std::abs(q2 - q0);
+      bool small_gap = std::abs(p0 - q0) < ((alpha >> 2) + 2);
+      if (small_gap && ap < beta) {
+        p.at(y - dy, x - dx) =
+            (uint8_t)((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3);
+        p.at(y - 2 * dy, x - 2 * dx) =
+            (uint8_t)((p2 + p1 + p0 + q0 + 2) >> 2);
+        p.at(y - 3 * dy, x - 3 * dx) =
+            (uint8_t)((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3);
+      } else {
+        p.at(y - dy, x - dx) = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+      }
+      if (small_gap && aq < beta) {
+        p.at(y, x) =
+            (uint8_t)((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3);
+        p.at(y + dy, x + dx) = (uint8_t)((q2 + q1 + q0 + p0 + 2) >> 2);
+        p.at(y + 2 * dy, x + 2 * dx) =
+            (uint8_t)((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3);
+      } else {
+        p.at(y, x) = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+      }
+      return;
+    }
+    if (mb_edge && chroma) {  // bS=4 chroma
+      p.at(y - dy, x - dx) = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+      p.at(y, x) = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+      return;
+    }
+    // bS=3 normal filter
+    int tc0 = kTc0Bs3[idx];
+    if (chroma) {
+      int tc = tc0 + 1;
+      int delta = iclip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc);
+      p.at(y - dy, x - dx) = (uint8_t)clip255(p0 + delta);
+      p.at(y, x) = (uint8_t)clip255(q0 - delta);
+      return;
+    }
+    int p2 = p.at(y - 3 * dy, x - 3 * dx);
+    int q2 = p.at(y + 2 * dy, x + 2 * dx);
+    int ap = std::abs(p2 - p0), aq = std::abs(q2 - q0);
+    int tc = tc0 + (ap < beta ? 1 : 0) + (aq < beta ? 1 : 0);
+    int delta = iclip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc);
+    p.at(y - dy, x - dx) = (uint8_t)clip255(p0 + delta);
+    p.at(y, x) = (uint8_t)clip255(q0 - delta);
+    if (ap < beta)
+      p.at(y - 2 * dy, x - 2 * dx) = (uint8_t)clip255(
+          p1 + iclip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0));
+    if (aq < beta)
+      p.at(y + dy, x + dx) = (uint8_t)clip255(
+          q1 + iclip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0));
+  };
+
+  // vertical edges (filter across columns), then horizontal edges —
+  // in place, filtered samples feed later edges as in the spec
+  for (int x = 4; x < p.w; x += 4) {
+    bool mb_edge = (x % mb) == 0;
+    for (int y = 0; y < p.h; ++y) filter_edge(y, x, 0, 1, mb_edge);
+  }
+  for (int y = 4; y < p.h; y += 4) {
+    bool mb_edge = (y % mb) == 0;
+    for (int x = 0; x < p.w; ++x) filter_edge(y, x, 1, 0, mb_edge);
+  }
+}
+
+}  // namespace h264
+
 namespace {
 
-void dct8(const double in[8], double out[8]) {
-  for (int u = 0; u < 8; ++u) {
-    double cu = u == 0 ? std::sqrt(1.0 / 8.0) : std::sqrt(2.0 / 8.0);
-    double s = 0.0;
-    for (int x = 0; x < 8; ++x)
-      s += in[x] * std::cos((2 * x + 1) * u * M_PI / 16.0);
-    out[u] = cu * s;
-  }
-}
-
-void idct8(const double in[8], double out[8]) {
-  for (int x = 0; x < 8; ++x) {
-    double s = 0.0;
-    for (int u = 0; u < 8; ++u) {
-      double cu = u == 0 ? std::sqrt(1.0 / 8.0) : std::sqrt(2.0 / 8.0);
-      s += cu * in[u] * std::cos((2 * x + 1) * u * M_PI / 16.0);
-    }
-    out[x] = s;
-  }
-}
-
-// 8x8 block DCT -> flat quantization by qstep -> IDCT, in place on a plane.
-void quantize_plane(std::vector<double>& plane, int h, int w, double qstep) {
-  std::vector<double> block(64), tmp(64);
-  for (int by = 0; by < h; by += 8) {
-    for (int bx = 0; bx < w; bx += 8) {
-      // rows
-      for (int y = 0; y < 8; ++y) {
-        double row[8], out[8];
-        for (int x = 0; x < 8; ++x) row[x] = plane[(by + y) * w + bx + x];
-        dct8(row, out);
-        for (int x = 0; x < 8; ++x) block[y * 8 + x] = out[x];
-      }
-      // cols
-      for (int x = 0; x < 8; ++x) {
-        double col[8], out[8];
-        for (int y = 0; y < 8; ++y) col[y] = block[y * 8 + x];
-        dct8(col, out);
-        for (int y = 0; y < 8; ++y)
-          tmp[y * 8 + x] = std::round(out[y] / qstep) * qstep;
-      }
-      // inverse
-      for (int x = 0; x < 8; ++x) {
-        double col[8], out[8];
-        for (int y = 0; y < 8; ++y) col[y] = tmp[y * 8 + x];
-        idct8(col, out);
-        for (int y = 0; y < 8; ++y) block[y * 8 + x] = out[y];
-      }
-      for (int y = 0; y < 8; ++y) {
-        double row[8], out[8];
-        for (int x = 0; x < 8; ++x) row[x] = block[y * 8 + x];
-        idct8(row, out);
-        for (int x = 0; x < 8; ++x) plane[(by + y) * w + bx + x] = out[x];
-      }
-    }
-  }
+// replicate-padded integer plane from double-precision source values
+h264::Plane make_plane(const std::vector<double>& src, int h, int w,
+                       int align, std::vector<int>& isrc) {
+  int ph = (h + align - 1) / align * align;
+  int pw = (w + align - 1) / align * align;
+  h264::Plane p;
+  p.h = ph;
+  p.w = pw;
+  p.d.assign((size_t)ph * pw, 0);
+  isrc.assign((size_t)ph * pw, 0);
+  for (int y = 0; y < ph; ++y)
+    for (int x = 0; x < pw; ++x)
+      isrc[(size_t)y * pw + x] = (int)std::lround(std::min(
+          255.0, std::max(0.0, src[(size_t)std::min(y, h - 1) * w +
+                                   std::min(x, w - 1)])));
+  return p;
 }
 
 }  // namespace
 
-// JM-style pure-intra H.264 approximation: rgb (h, w, 3) uint8, QP 0..51.
-// Includes BT.601 conversion and 4:2:0 chroma subsampling like the JM
-// pipeline; h and w must be even (the JM even-dimension constraint the
+// H.264 pure-intra frame coding on YUV 4:2:0 (the JM IntraPeriod=1
+// configuration the reference drives via subprocess): BT.601 conversion,
+// chroma subsampling, 4x4 intra prediction + integer transform + spec
+// quantization, chroma DC Hadamard, in-loop deblocking, back to RGB.
+// QP 0..51. h and w must be even (the JM even-dimension constraint the
 // reference's downsampler enforces).
 void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
-  int ph = (h + 7) / 8 * 8, pw = (w + 7) / 8 * 8;
+  qp = std::clamp(qp, 0, 51);
   int ch2 = h / 2, cw2 = w / 2;
-  int pch = (ch2 + 7) / 8 * 8, pcw = (cw2 + 7) / 8 * 8;
-  std::vector<double> Y(static_cast<size_t>(ph) * pw, 0.0);
-  std::vector<double> Cb(static_cast<size_t>(pch) * pcw, 128.0);
-  std::vector<double> Cr(static_cast<size_t>(pch) * pcw, 128.0);
+  std::vector<double> Y((size_t)h * w), Cb((size_t)ch2 * cw2),
+      Cr((size_t)ch2 * cw2);
   for (int y = 0; y < h; ++y) {
     for (int x = 0; x < w; ++x) {
-      const uint8_t* p = &rgb[(static_cast<size_t>(y) * w + x) * 3];
+      const uint8_t* p = &rgb[((size_t)y * w + x) * 3];
       double r = p[0], g = p[1], b = p[2];
-      Y[static_cast<size_t>(y) * pw + x] =
-          0.299 * r + 0.587 * g + 0.114 * b;
+      Y[(size_t)y * w + x] = 0.299 * r + 0.587 * g + 0.114 * b;
     }
   }
   for (int y = 0; y < ch2; ++y) {
@@ -227,51 +751,47 @@ void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
       for (int dy = 0; dy < 2; ++dy)
         for (int dx = 0; dx < 2; ++dx) {
           const uint8_t* p =
-              &rgb[(static_cast<size_t>(2 * y + dy) * w + 2 * x + dx) * 3];
-          r += p[0]; g += p[1]; b += p[2];
+              &rgb[((size_t)(2 * y + dy) * w + 2 * x + dx) * 3];
+          r += p[0];
+          g += p[1];
+          b += p[2];
         }
-      r /= 4; g /= 4; b /= 4;
-      Cb[static_cast<size_t>(y) * pcw + x] =
+      r /= 4;
+      g /= 4;
+      b /= 4;
+      Cb[(size_t)y * cw2 + x] =
           128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b;
-      Cr[static_cast<size_t>(y) * pcw + x] =
+      Cr[(size_t)y * cw2 + x] =
           128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b;
     }
   }
-  // pad replicate
-  for (int y = 0; y < ph; ++y)
-    for (int x = 0; x < pw; ++x)
-      if (y >= h || x >= w)
-        Y[static_cast<size_t>(y) * pw + x] =
-            Y[static_cast<size_t>(std::min(y, h - 1)) * pw +
-              std::min(x, w - 1)];
-  for (int y = 0; y < pch; ++y)
-    for (int x = 0; x < pcw; ++x)
-      if (y >= ch2 || x >= cw2) {
-        Cb[static_cast<size_t>(y) * pcw + x] =
-            Cb[static_cast<size_t>(std::min(y, ch2 - 1)) * pcw +
-               std::min(x, cw2 - 1)];
-        Cr[static_cast<size_t>(y) * pcw + x] =
-            Cr[static_cast<size_t>(std::min(y, ch2 - 1)) * pcw +
-               std::min(x, cw2 - 1)];
-      }
-  double qstep = 0.625 * std::pow(2.0, qp / 6.0);
-  quantize_plane(Y, ph, pw, qstep);
-  quantize_plane(Cb, pch, pcw, qstep);
-  quantize_plane(Cr, pch, pcw, qstep);
+
+  std::vector<int> ys, cbs, crs;
+  h264::Plane py = make_plane(Y, h, w, 16, ys);
+  h264::Plane pcb = make_plane(Cb, ch2, cw2, 8, cbs);
+  h264::Plane pcr = make_plane(Cr, ch2, cw2, 8, crs);
+
+  h264::code_luma(py, ys, qp);
+  h264::code_chroma(pcb, cbs, qp);
+  h264::code_chroma(pcr, crs, qp);
+
+  h264::deblock(py, qp, 16, false);
+  int qpc = h264::chroma_qp(qp);
+  h264::deblock(pcb, qpc, 8, true);
+  h264::deblock(pcr, qpc, 8, true);
+
   for (int y = 0; y < h; ++y) {
     for (int x = 0; x < w; ++x) {
-      double yy = Y[static_cast<size_t>(y) * pw + x];
-      double cb =
-          Cb[static_cast<size_t>(y / 2) * pcw + x / 2] - 128.0;
-      double cr =
-          Cr[static_cast<size_t>(y / 2) * pcw + x / 2] - 128.0;
+      double yy = py.at(y, x);
+      double cb = pcb.at(y / 2, x / 2) - 128.0;
+      double cr = pcr.at(y / 2, x / 2) - 128.0;
       double r = yy + 1.402 * cr;
       double g = yy - 0.344136 * cb - 0.714136 * cr;
       double b = yy + 1.772 * cb;
-      uint8_t* p = &out[(static_cast<size_t>(y) * w + x) * 3];
-      p[0] = static_cast<uint8_t>(std::clamp(std::round(r), 0.0, 255.0));
-      p[1] = static_cast<uint8_t>(std::clamp(std::round(g), 0.0, 255.0));
-      p[2] = static_cast<uint8_t>(std::clamp(std::round(b), 0.0, 255.0));
+      uint8_t* p = &out[((size_t)y * w + x) * 3];
+      p[0] = (uint8_t)std::clamp(std::round(r), 0.0, 255.0);
+      p[1] = (uint8_t)std::clamp(std::round(g), 0.0, 255.0);
+      p[2] = (uint8_t)std::clamp(std::round(b), 0.0, 255.0);
     }
   }
 }

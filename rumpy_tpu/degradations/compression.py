@@ -157,8 +157,10 @@ class JMCompress(DegradationOp):
             out = self._jm_binary_compress(pil, qpi)
             out = out if was_pil else np.asarray(out)
             return out, {"qpi": self._norm(qpi)}
-        # native C++ path: JM-style intra with real 4:2:0 chroma
-        # subsampling (closer to JM than the on-device 4:4:4 codec)
+        # native C++ path: the real H.264 intra toolchain (prediction +
+        # integer transform + deblocking on 4:2:0) — distribution-faithful
+        # to JM's IntraPeriod=1 output, though not bit-exact (no entropy
+        # coding / RD mode decision; see native/rumpy_native.cpp)
         u8 = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
         h, w = u8.shape[:2]
         try:

@@ -6,8 +6,10 @@ Builds the shared library on first use if g++ is available (the compiled
 
 Components (see the .cpp header for the design rationale):
   * pil_resize  — bit-exact Pillow bicubic/bilinear (integer fixed point);
-  * h264_intra  — JM-style pure-intra H.264 approximation with real
-    4:2:0 chroma subsampling;
+  * h264_intra  — real H.264 intra toolchain on YUV 4:2:0 (4x4 intra
+    prediction with all 9 modes, integer transform + spec quantization
+    tables, chroma DC Hadamard, in-loop deblocking) — the JM encoder's
+    IntraPeriod=1 path minus entropy coding / RD mode decision;
   * entropy_patch — host entropy patch selection for dataloader workers.
 """
 
@@ -85,7 +87,7 @@ def pil_resize(img: np.ndarray, size: Tuple[int, int],
 
 
 def h264_intra(rgb: np.ndarray, qp: int) -> np.ndarray:
-    """JM-style intra compression round-trip. rgb (H, W, 3) uint8 with
+    """H.264 intra compression round-trip. rgb (H, W, 3) uint8 with
     even dimensions (the JM constraint)."""
     lib = _load()
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)

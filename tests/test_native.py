@@ -51,3 +51,48 @@ def test_jmcompress_uses_native(rng):
     out, meta = op(img)
     assert out.size == img.size
     assert meta["qpi"] == 30
+
+
+def test_native_h264_rate_distortion_curve():
+    """The codec is the real H.264 intra toolchain (4x4 intra prediction,
+    integer transform, spec quant tables, deblocking): its QP->PSNR curve
+    on a natural image must show the characteristic ~0.5 dB/QP slope from
+    the 6-QP-per-qstep-doubling design, inside all-intra H.264 ranges."""
+    import glob
+    from PIL import Image
+    from rumpy_tpu import native
+    p = sorted(glob.glob(
+        "/root/reference/Data/example_data/Set5/hr/baby*"))[0]
+    img = np.asarray(Image.open(p).convert("RGB"))[:128, :128]
+
+    def psnr(qp):
+        out = native.h264_intra(img, qp)
+        mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / mse)
+
+    p20, p32, p44 = psnr(20), psnr(32), psnr(44)
+    assert p20 > p32 > p44
+    assert 35 < p20 < 50, p20
+    assert 28 < p32 < 40, p32
+    assert 22 < p44 < 33, p44
+    # qstep doubles every 6 QP -> roughly 6 dB per 12 QP in the linear
+    # region (generous band)
+    assert 3.0 < p20 - p32 < 10.0, (p20, p32)
+    assert 3.0 < p32 - p44 < 10.0, (p32, p44)
+
+
+def test_native_h264_flat_regions_stay_uniform():
+    """Intra prediction reconstructs a flat frame as a flat frame: the
+    first block's DC lands on the quantizer grid (bounded by half the
+    effective DC step, 32 pixel units at QP40 -> error <= 16) and every
+    later block predicts it exactly, so there is no block-to-block
+    variation — the signature distinguishing real intra prediction from
+    a blockwise-JPEG approximation."""
+    from rumpy_tpu import native
+    img = np.full((64, 64, 3), 90, np.uint8)
+    out = native.h264_intra(img, 40)
+    assert np.abs(out.astype(int) - 90).max() <= 16
+    for c in range(3):
+        assert np.unique(out[..., c]).size == 1  # perfectly uniform
+    # at QP0 the grid is fine enough to be lossless on flat content
+    assert np.array_equal(native.h264_intra(img, 0), img)
