@@ -319,13 +319,32 @@ class QSPARNetHandler(_BNHandlerMixin, QModelHandler):
 
 @register_model("rcansplitceleb")
 class RCANSplitCelebHandler(BaseHandler):
-    """Attribute-gated two-RCAN ensemble: metadata[:, 0] selects which
-    expert's output is used per example."""
+    """Attribute-split two-RCAN ensemble (ensemble_models/handlers.py:8-99
+    RcanSplitCelebHandler). The reference partitions each batch on host by
+    a binary celeba attribute and runs the 'positive'/'negative' child on
+    its dynamic-size split; here both experts see the static-shape batch
+    and the per-example attribute gates output selection — gradients still
+    flow only to each example's owning expert through jnp.where, so the
+    training semantics match without data-dependent shapes.
+
+    The gate column is `metadata[:, split_index]` (default 0). With the
+    standard config — `data.metadata = ["gender"]` (or another binary
+    celeba attribute) — the data layer selects exactly that column, which
+    reproduces the reference's metadata_keys lookup of `split_variable`
+    (handlers.py:33-43).
+
+    Per-allocation losses are reported as the reference does
+    (positive-loss / negative-loss, NaN when a batch has no examples of
+    an allocation; train-loss is their sum, handlers.py:46-66).
+    """
     loss_type = "l1"
     colorspace = "rgb"
     uses_metadata = True
 
-    def __init__(self, n_feats=64, n_resgroups=10, n_resblocks=20, **kwargs):
+    def __init__(self, n_feats=64, n_resgroups=10, n_resblocks=20,
+                 split_variable="gender", split_index=0, **kwargs):
+        self.split_variable = split_variable
+        self.split_index = split_index
         super().__init__(n_feats=n_feats, n_resgroups=n_resgroups,
                          n_resblocks=n_resblocks, **kwargs)
 
@@ -351,9 +370,29 @@ class RCANSplitCelebHandler(BaseHandler):
                 jnp.zeros((batch,), jnp.float32))
 
     def apply(self, params, batch, train=False, rng=None, extra=None):
-        gate = batch["metadata"][:, 0].astype(jnp.float32)
+        gate = batch["metadata"][:, self.split_index].astype(jnp.float32)
         sr = self.module.apply({"params": params}, batch["lr"], gate)
-        return sr, {}, extra
+        return sr, {"_gate": gate}, extra
+
+    def compute_losses(self, sr, batch, aux):
+        gate = aux.pop("_gate")
+        per_ex = jnp.mean(jnp.abs(sr - batch["hr"]), axis=(1, 2, 3))
+        pos = gate > 0.5
+        n_pos = pos.sum()
+        n_neg = (~pos).sum()
+        pos_loss = jnp.where(
+            n_pos > 0,
+            jnp.where(pos, per_ex, 0.0).sum() / jnp.maximum(n_pos, 1),
+            jnp.nan)
+        neg_loss = jnp.where(
+            n_neg > 0,
+            jnp.where(pos, 0.0, per_ex).sum() / jnp.maximum(n_neg, 1),
+            jnp.nan)
+        # train-loss = sum of per-allocation means (handlers.py:64-66);
+        # nan-safe so a single-allocation batch still trains
+        total = (jnp.nan_to_num(pos_loss) + jnp.nan_to_num(neg_loss))
+        return {"train-loss": total, "positive-loss": pos_loss,
+                "negative-loss": neg_loss}
 
 
 # ---------------------------------------------------------------------------

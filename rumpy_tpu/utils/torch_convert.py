@@ -45,7 +45,11 @@ def _flatten_with_paths(tree, prefix=()):
 
 
 def _torch_to_numpy(t):
-    return t.detach().cpu().numpy()
+    # .numpy() SHARES memory with the live tensor, and jnp.asarray on the
+    # CPU backend can be zero-copy for aligned arrays — without the copy,
+    # a later in-place torch update (e.g. optimizer.step()) would mutate
+    # the "converted" flax parameters behind JAX's back.
+    return t.detach().cpu().numpy().copy()
 
 
 def convert_by_order(torch_state: "Dict[str, Any]", flax_params):

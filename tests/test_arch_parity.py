@@ -702,3 +702,56 @@ def test_sparnet_forward_parity(ref_arch, rng):
         "metadata": jnp.asarray(meta)}))
     np.testing.assert_allclose(qgot.transpose(0, 3, 1, 2), qref,
                                atol=3e-4)
+
+
+def test_rcan_one_training_step_parity(ref_arch, rng):
+    """Beyond forward parity: ONE full training step (forward, L1 loss,
+    backward, Adam update) produces the same loss and the same updated
+    parameters as torch. This pins the gradient graph and the optimizer
+    semantics (optax.adam == torch.optim.Adam: bias correction, eps
+    outside the sqrt), not just the forward function."""
+    arch, _, torch = ref_arch
+    import jax
+    import jax.numpy as jnp
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    torch.manual_seed(0)
+    net = arch.RCAN(scale=2, n_resblocks=2, n_resgroups=2, n_feats=16)
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+
+    h = get_model("rcan")(scale=2, n_resblocks=2, n_resgroups=2,
+                          n_feats=16, lr=1e-3)
+    state = h.init_state()
+    params = convert_by_order(net.state_dict(), state.params)
+    state = state.replace(params=params)
+
+    x = rng.random((2, 3, 12, 12)).astype(np.float32)
+    y = rng.random((2, 3, 24, 24)).astype(np.float32)
+
+    # torch step
+    out = net(torch.from_numpy(x))
+    loss = torch.nn.functional.l1_loss(out, torch.from_numpy(y))
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+
+    # jax step
+    state2, losses = h.train_batch(
+        state, {"lr": jnp.asarray(x.transpose(0, 2, 3, 1)),
+                "hr": jnp.asarray(y.transpose(0, 2, 3, 1))})
+    np.testing.assert_allclose(float(losses["train-loss"]),
+                               float(loss.detach()), atol=1e-5)
+
+    # updated parameters must match leaf-for-leaf. Convert the post-step
+    # torch state into the ORIGINAL (insertion-ordered) template — the
+    # jitted step returns key-sorted dicts — then align both trees via
+    # jax's sorted flatten.
+    updated = convert_by_order(net.state_dict(), params)
+    flat_ref = jax.tree_util.tree_leaves(updated)
+    flat_got = jax.tree_util.tree_leaves(state2.params)
+    assert len(flat_ref) == len(flat_got)
+    for a, b in zip(flat_got, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)

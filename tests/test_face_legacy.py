@@ -55,6 +55,23 @@ def test_rcansplit(rng):
                                "metadata": np.zeros((2, 1), np.float32)})
     assert out_a.shape == (2, 16, 16, 3)
     assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+    # mixed batch: per-allocation losses reported like the reference
+    batch = {"lr": lr, "hr": rng.random((2, 16, 16, 3)).astype(np.float32),
+             "metadata": np.asarray([[1.0], [0.0]], np.float32)}
+    _, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["positive-loss"]))
+    assert np.isfinite(float(losses["negative-loss"]))
+    np.testing.assert_allclose(
+        float(losses["train-loss"]),
+        float(losses["positive-loss"]) + float(losses["negative-loss"]),
+        rtol=1e-5)
+    # an allocation with no examples reports NaN (handlers.py:52-54) but
+    # the batch still trains
+    state2 = h.init_state()
+    _, losses2 = h.train_batch(
+        state2, {**batch, "metadata": np.ones((2, 1), np.float32)})
+    assert np.isnan(float(losses2["negative-loss"]))
+    assert np.isfinite(float(losses2["train-loss"]))
 
 
 @pytest.mark.parametrize("scale", [2, 4])
