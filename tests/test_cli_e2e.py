@@ -297,3 +297,57 @@ def test_eval_sisr_cli_flags_only(tmp_path, dataset_dirs):
         "--out_loc", str(tmp_path / "flags_out2")])
     assert r.exit_code != 0
     assert "No models specified" in r.output
+
+
+def test_train_dic_cli_with_landmarks(tmp_path, rng):
+    """DIC through the real train_sisr CLI: the landmarks pickle is looked
+    up per image tag on host (trainer -> interface -> handler) and the
+    heatmaps render on device; summary.csv must show a nonzero alignment
+    loss (reference DICnets/handlers.py:56-99 contract)."""
+    import pickle
+
+    import pandas as pd
+
+    from rumpy_tpu.cli.train_sisr import main
+    from rumpy_tpu.ops import resize
+
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    os.makedirs(hr_dir)
+    os.makedirs(lr_dir)
+    landmarks = {}
+    for i in range(2):
+        hr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        name = f"im{i}.png"
+        Image.fromarray(hr).save(hr_dir / name)
+        Image.fromarray(np.asarray(resize.pil_resize(hr, (16, 16)))
+                        ).save(lr_dir / name)
+        landmarks[name] = (rng.random((68, 2)) * 64).astype(np.float32)
+    lm_path = tmp_path / "landmarks.pkl"
+    with open(lm_path, "wb") as f:
+        pickle.dump(landmarks, f)
+
+    cfg = {
+        "experiment": "dic_cli",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"task_type": "sisr", "scale": 4, "crop": 8,
+                 "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": str(lr_dir),
+                                              "hr_dir": str(hr_dir)}}},
+        "model": {"name": "dic",
+                  "internal_params": {"scale": 4, "num_steps": 2,
+                                      "num_features": 8, "num_groups": 2,
+                                      "hg_num_feature": 16,
+                                      "num_fusion_block": 1,
+                                      "landmarks_file": str(lm_path)}},
+        "training": {"num_epochs": 1, "batch_size": 2, "seed": 0,
+                     "metrics": ["PSNR"]},
+    }
+    p = tmp_path / "dic.toml"
+    dump_toml(cfg, str(p))
+    r = CliRunner().invoke(main, ["--parameters", str(p)])
+    assert r.exit_code == 0, r.output + repr(r.exception)
+    summ = pd.read_csv(tmp_path / "Results" / "dic_cli" /
+                       "result_outputs" / "summary.csv")
+    assert float(summ["align_loss"].iloc[0]) > 0
+    assert np.isfinite(float(summ["train-loss"].iloc[0]))
