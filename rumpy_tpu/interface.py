@@ -164,6 +164,11 @@ class SISRInterface:
 
     def set_epoch(self, epoch: int) -> None:
         self.model_epoch = epoch
+        # forward to the handler (reference base_interface.py:313-315) —
+        # epoch-switched handlers (GAN pretrain phases, WaveletSRGAN's
+        # training_switch, FSSR-DSGAN's per-epoch LR decay) depend on it
+        if hasattr(self.model, "set_epoch"):
+            self.model.set_epoch(epoch)
 
     def net_run_and_process(self, lr=None, hr=None, metadata=None,
                             timing: bool = False,

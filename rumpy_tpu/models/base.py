@@ -189,6 +189,17 @@ class BaseHandler:
     def init_extra(self, rng) -> Any:
         return {}
 
+    def transform_grads(self, grads, state, batch):
+        """Hook for gradient surgery inside the jitted step (e.g. DIC's
+        hourglass freeze schedule). Default: identity."""
+        return grads
+
+    def transform_updates(self, updates, state, batch):
+        """Hook for masking optimizer updates inside the jitted step
+        (e.g. RCANSplit's skip-absent-allocation semantics). Default:
+        identity."""
+        return updates
+
     # -- state lifecycle ---------------------------------------------------
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -223,7 +234,9 @@ class BaseHandler:
             return losses["train-loss"], (losses, new_extra)
 
         grads, (losses, new_extra) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = self.transform_grads(grads, state, batch)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = self.transform_updates(updates, state, batch)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state, rng=rng,

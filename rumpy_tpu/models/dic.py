@@ -41,18 +41,13 @@ import numpy as np
 
 from rumpy_tpu.models.base import BaseHandler, PIXEL_LOSSES
 from rumpy_tpu.models.common import pixel_shuffle
-from rumpy_tpu.models.face_attribute_gans import TorchConvTranspose
+from rumpy_tpu.models.face_attribute_gans import PRelu, TorchConvTranspose
 from rumpy_tpu.registry import register_model
 
 
-class _PReLU(nn.Module):
-    """torch nn.PReLU(num_parameters=1, init=0.2) (blocks.py:14-25)."""
-    init: float = 0.2
-
-    @nn.compact
-    def __call__(self, x):
-        a = self.param("weight", nn.initializers.constant(self.init), (1,))
-        return jnp.where(x >= 0, x, a[0].astype(x.dtype) * x)
+def _PReLU(name=None):
+    """blocks.py:14-25 activation('prelu'): one shared slope, init 0.2."""
+    return PRelu(init=0.2, name=name)
 
 
 class ConvBlock(nn.Module):
@@ -540,37 +535,31 @@ class DICHandler(BaseHandler):
         losses["full_loss"] = losses["train-loss"]
         return losses
 
-    def _train_step_impl(self, state, batch):
-        import optax
-        rng, sub, dsub = jax.random.split(state.rng, 3)
-        if self.input_fn is not None:
-            batch = self.input_fn(dsub, batch)
-
-        def loss_fn(params):
-            sr, aux, new_extra = self.apply(params, batch, train=True,
-                                            rng=sub, extra=state.extra)
-            losses = self.compute_losses(sr, batch, aux)
-            return losses["train-loss"], (losses, new_extra)
-
-        grads, (losses, new_extra) = jax.grad(loss_fn, has_aux=True)(
-            state.params)
+    def transform_grads(self, grads, state, batch):
         # hourglass frozen until hg_release_step (handlers.py:95-102)
         if self.hg_release_step and "hg" in grads:
             gate = (state.step >= self.hg_release_step).astype(jnp.float32)
             grads = dict(grads)
             grads["hg"] = jax.tree_util.tree_map(
                 lambda g: g * gate, grads["hg"])
-        updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state,
-            rng=rng,
-            extra=new_extra if new_extra is not None else state.extra)
-        return new_state, losses
+        return grads
 
 
-# Back-compat alias for configs written against the round-1 compact port.
+# Back-compat alias for configs written against the round-1 compact port
+# (which took nf/iterations/num_landmarks and supported any scale; the
+# reference-exact DIC supports scale 4/8 only).
 @register_model("dicnet")
 class DICNetHandler(DICHandler):
-    pass
+    def __init__(self, nf=None, iterations=None, num_landmarks=None,
+                 **kwargs):
+        if nf is not None:
+            kwargs.setdefault("num_features", nf)
+        if iterations is not None:
+            kwargs.setdefault("num_steps", iterations)
+        if num_landmarks is not None:
+            import warnings
+            warnings.warn(
+                "dicnet's old num_landmarks kwarg is ignored — the "
+                "reference-exact DIC predicts hg_num_keypoints heatmaps "
+                "merged to 5 attention groups", stacklevel=2)
+        super().__init__(**kwargs)

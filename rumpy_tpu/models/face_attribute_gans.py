@@ -39,16 +39,18 @@ def _flatten_nchw(x):
 
 
 class PRelu(nn.Module):
-    """torch nn.PReLU(): ONE shared slope parameter, init 0.25."""
+    """torch nn.PReLU(num_parameters, init): shared slope parameter(s),
+    default init 0.25 (DIC's blocks.py activation() uses init 0.2)."""
     num: int = 1
+    init: float = 0.25
 
     @nn.compact
     def __call__(self, x):
-        a = self.param("prelu", nn.initializers.constant(0.25),
+        a = self.param("prelu", nn.initializers.constant(self.init),
                        (self.num,))
         if self.num == 1:
             a = a[0]
-        return jnp.where(x >= 0, x, a * x)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 class TConv(nn.Module):

@@ -394,6 +394,23 @@ class RCANSplitCelebHandler(BaseHandler):
         return {"train-loss": total, "positive-loss": pos_loss,
                 "negative-loss": neg_loss}
 
+    def transform_updates(self, updates, state, batch):
+        """Reference handlers.py:49-54 skips the optimizer step of a
+        child with no examples in the batch. The absent expert's grads
+        are already zero, but Adam momentum would still produce nonzero
+        updates — mask them. (Deviation: the absent expert's Adam moments
+        still decay toward zero here, vs staying untouched in the
+        reference; that is benign, unlike letting stale momentum coast.)"""
+        gate = batch["metadata"][:, self.split_index] > 0.5
+        has_pos = (gate.sum() > 0).astype(jnp.float32)
+        has_neg = ((~gate).sum() > 0).astype(jnp.float32)
+        updates = dict(updates)
+        updates["expert_a"] = jax.tree_util.tree_map(
+            lambda u: u * has_pos, updates["expert_a"])
+        updates["expert_b"] = jax.tree_util.tree_map(
+            lambda u: u * has_neg, updates["expert_b"])
+        return updates
+
 
 # ---------------------------------------------------------------------------
 # WaveletSRNet/WaveletSRGAN live in models/wavelet.py; DIC in models/dic.py;

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import optax
 
 from rumpy_tpu.models.base import BaseHandler, TrainState, build_optimizer
+from rumpy_tpu.models.face_attribute_gans import PRelu as _PReLU1
 from rumpy_tpu.models.gan_models import ESRGANHandler
 from rumpy_tpu.registry import register_model
 
@@ -93,8 +94,8 @@ class ESRGANFSHandler(ESRGANHandler):
 
     def _disc_input(self, img):
         if self.use_filters:
-            # FilterHigh(include_pad=False) per handlers.py:18
-            return filter_high(img, include_pad=False)
+            # FilterHigh() with default include_pad=True (handlers.py:19)
+            return filter_high(img)
         return img
 
 
@@ -108,15 +109,6 @@ class FSSRHandler(ESRGANFSHandler):
 # ---------------------------------------------------------------------------
 # DSGAN (models_dsgan.py:6-80)
 # ---------------------------------------------------------------------------
-
-class _PReLU1(nn.Module):
-    """torch nn.PReLU() — one shared slope, init 0.25."""
-
-    @nn.compact
-    def __call__(self, x):
-        a = self.param("weight", nn.initializers.constant(0.25), (1,))
-        return jnp.where(x >= 0, x, a[0].astype(x.dtype) * x)
-
 
 class DSGANGenerator(nn.Module):
     """models_dsgan.py:6-22: conv+PReLU head, 8 residual blocks,
@@ -292,16 +284,21 @@ class FSSRDSGANHandler(BaseHandler):
         d_params = optax.apply_updates(state.params["discriminator"], d_up)
 
         # ---- generator update (fresh forward through updated D) ---------
+        # NOTE: the content-preservation terms (color low-pass L1, LPIPS)
+        # compare against the generator INPUT x, not y — y is only the
+        # discriminator's texture-domain target. DSGAN trains on unpaired
+        # domains; regressing toward y would destroy the input content
+        # (reference handlers.py:166 criterion(fake_tex, gen_img, x)).
         def g_loss_fn(gp):
             out = self.module.apply({"params": gp}, x)
             fake, _ = self._disc(d_params, new_bstats, out, False)
             tex = -jnp.log(fake + eps).mean()
             col = jnp.mean(jnp.abs(
                 filter_low(out, padding=False)
-                - filter_low(y, padding=False)))
+                - filter_low(x, padding=False)))
             loss = self.w_col * col + self.w_tex * tex
             if lpips_params is not None:
-                per = self._lpips.distance(out, y, *lpips_params).mean()
+                per = self._lpips.distance(out, x, *lpips_params).mean()
             else:
                 per = jnp.zeros(())
             if self.use_perceptual_loss:

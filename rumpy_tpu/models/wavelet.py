@@ -354,10 +354,19 @@ class WaveletSRNetHandler(_WaveletLossMixin, BaseHandler):
                 "img_loss": loss_img, "texture_loss": loss_tex}
 
 
-# Back-compat alias for round-1 configs.
+# Back-compat alias for round-1 configs (whose compact net took nf/nb;
+# the reference WaveletSRNet trunk is fixed 64->1024, so those are
+# accepted and ignored with a warning).
 @register_model("waveletnet")
 class WaveletNetHandler(WaveletSRNetHandler):
-    pass
+    def __init__(self, nf=None, nb=None, **kwargs):
+        if nf is not None or nb is not None:
+            import warnings
+            warnings.warn(
+                "waveletnet's old nf/nb kwargs are ignored — the "
+                "reference-exact WaveletSRNet has a fixed trunk "
+                "(architectures.py:186-197)", stacklevel=2)
+        super().__init__(**kwargs)
 
 
 @register_model("waveletsrgan")
@@ -517,17 +526,33 @@ class WaveletSRGANHandler(_WaveletLossMixin, BaseHandler):
             extra={"g_bstats": new_gb, "d_bstats": new_db}, rng=rng)
         return new_state, losses
 
+    def _identity_preprocess(self, img):
+        """lightCNN.py:119-122 preprocess: bicubic resize to 128x128 +
+        BT.601 grayscale, single channel. (jax's cubic kernel uses the
+        Keys a=-0.5 spline vs torch bicubic a=-0.75 — a sub-percent
+        difference on the already-lossy loss input.)"""
+        n = img.shape[0]
+        r = jax.image.resize(img, (n, 128, 128, img.shape[-1]), "cubic")
+        gray = (0.299 * r[..., 0] + 0.587 * r[..., 1]
+                + 0.114 * r[..., 2])
+        return gray[..., None]
+
     def _identity_loss_p(self, identity_params, y, out):
-        """handlers.py:115-118 identity_loss: per-feature L1 between
-        LightCNN embeddings of target and output, output side trained."""
-        feats_y = self.identity_module.apply({"params": identity_params}, y)
-        feats_o = self.identity_module.apply({"params": identity_params},
-                                             out)
+        """handlers.py:115-118 + architectures.py:8-14 identity_loss:
+        per-feature L1Loss (a mean) additionally divided by the
+        per-example feature count — the reference's double
+        normalization, kept as written."""
+        feats_y = self.identity_module.apply(
+            {"params": identity_params}, self._identity_preprocess(y))
+        feats_o = self.identity_module.apply(
+            {"params": identity_params}, self._identity_preprocess(out))
         if not isinstance(feats_y, (list, tuple)):
             feats_y, feats_o = [feats_y], [feats_o]
         loss = 0.0
         for fy, fo in zip(feats_y, feats_o):
-            loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(fy) - fo))
+            per_example = fy.size / fy.shape[0]
+            loss = loss + jnp.mean(
+                jnp.abs(jax.lax.stop_gradient(fy) - fo)) / per_example
         return loss
 
     def _rejit(self):

@@ -66,12 +66,49 @@ def test_rcansplit(rng):
         float(losses["positive-loss"]) + float(losses["negative-loss"]),
         rtol=1e-5)
     # an allocation with no examples reports NaN (handlers.py:52-54) but
-    # the batch still trains
+    # the batch still trains — and the absent expert's parameters stay
+    # untouched (the reference skips that child's optimizer step; Adam
+    # momentum must not make it coast)
+    import jax
     state2 = h.init_state()
-    _, losses2 = h.train_batch(
+    # two steps first so Adam momentum is nonzero for both experts
+    state2, _ = h.train_batch(state2, batch)
+    state2, _ = h.train_batch(state2, batch)
+    b_before = [np.asarray(v) for v in
+                jax.tree_util.tree_leaves(state2.params["expert_b"])]
+    state3, losses2 = h.train_batch(
         state2, {**batch, "metadata": np.ones((2, 1), np.float32)})
     assert np.isnan(float(losses2["negative-loss"]))
     assert np.isfinite(float(losses2["train-loss"]))
+    b_after = jax.tree_util.tree_leaves(state3.params["expert_b"])
+    assert all(np.array_equal(np.asarray(a), b)
+               for a, b in zip(b_after, b_before))
+
+
+def test_legacy_alias_kwargs():
+    """Round-1 registry names accept (and map/ignore) the old kwargs."""
+    import warnings
+    h = get_model("dicnet")(scale=4, nf=8, iterations=2, num_groups=2,
+                            hg_num_feature=16, num_fusion_block=1)
+    assert h.module.num_features == 8 and h.module.num_steps == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_model("waveletnet")(scale=4, nf=8, nb=1, num_layers_res=1)
+        assert any("ignored" in str(x.message) for x in w)
+
+
+def test_interface_forwards_set_epoch(tmp_path):
+    """Epoch-switched handlers (GAN phases, WaveletSRGAN training_switch,
+    FSSR-DSGAN LR decay) need interface.set_epoch to reach the handler
+    (reference base_interface.py:313-315)."""
+    from rumpy_tpu.interface import SISRInterface
+    iface = SISRInterface(
+        model_loc=str(tmp_path), experiment="se", mode="train", scale=4,
+        new_params={"name": "esrgan",
+                    "internal_params": {"scale": 4, "nf": 8, "nb": 1,
+                                        "gc": 4, "pretrain_epochs": 2}})
+    iface.set_epoch(3)
+    assert iface.model.curr_epoch == 3
 
 
 @pytest.mark.parametrize("scale", [2, 4])
