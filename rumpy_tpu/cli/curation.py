@@ -98,7 +98,10 @@ def clean_models(results_loc, metric, dry_run):
             continue
         try:
             best = _best_epoch(exp, metric)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError) as e:
+            # one unreadable/metricless experiment must not abort the
+            # whole pruning run — skip it (it keeps all its epochs)
+            click.echo(f"skipping {name}: {e}")
             continue
         keep = {best - 1, best, best + 1, eps[-1]}
         drop = [e for e in eps if e not in keep]

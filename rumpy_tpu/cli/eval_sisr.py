@@ -66,11 +66,15 @@ def main(config, out_loc, model_loc, scale, hr_dir, lr_dir, metadata_file,
          time_models, lpips_weights, fr_gallery, fr_extractor,
          fr_extractor_weights):
     cfg = load_config(config) if config else {}
+    # boolean is_flag options default to False (not None); only merge
+    # them when set, otherwise an unset flag would clobber a config-file
+    # `true` (net_eval.py's click_config_file gets this for free)
     cfg = merge_overrides(cfg, {k: v for k, v in {
         "out_loc": out_loc, "model_loc": model_loc, "scale": scale,
-        "save_im": save_im, "gallery": gallery,
-        "time_models": time_models,
-        "lanczos_upsample": lanczos_upsample,
+        "save_im": save_im or None, "gallery": gallery or None,
+        "time_models": time_models or None,
+        "no_image_comparison": no_image_comparison or None,
+        "lanczos_upsample": lanczos_upsample or None,
         "lpips_weights": lpips_weights, "fr_gallery": fr_gallery,
         "fr_extractor": fr_extractor,
         "fr_extractor_weights": fr_extractor_weights}.items()
@@ -120,7 +124,7 @@ def main(config, out_loc, model_loc, scale, hr_dir, lr_dir, metadata_file,
         gallery=bool(cfg.get("gallery")),
         lanczos_upsample=bool(cfg.get("lanczos_upsample")),
         time_models=bool(cfg.get("time_models")),
-        no_image_comparison=no_image_comparison,
+        no_image_comparison=bool(cfg.get("no_image_comparison")),
         lpips_weights=cfg.get("lpips_weights"),
         fr_gallery=cfg.get("fr_gallery"),
         fr_extractor=cfg.get("fr_extractor") or "lightcnn",

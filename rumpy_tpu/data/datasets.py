@@ -237,7 +237,15 @@ class SuperResImages:
                 (idx + crop_index) % len(self.predefined_patch_locations)])
         if self.patch_type == "entropy" and img.shape[-1] == 3:
             from rumpy_tpu.ops.entropy import entropy_patch_positions
-            ys, xs = entropy_patch_positions(img, crop_size, max(total, 1))
+            # multi-crop calls this once per crop_index with identical
+            # (img, crop_size, total) — compute the position list once
+            # per item and reuse it across the crops
+            cache_key = (idx, crop_size, max(total, 1))
+            if getattr(self, "_entropy_cache_key", None) != cache_key:
+                self._entropy_cache_key = cache_key
+                self._entropy_cache = entropy_patch_positions(
+                    img, crop_size, max(total, 1))
+            ys, xs = self._entropy_cache
             j = crop_index % len(ys)
             return int(ys[j]), int(xs[j])
         top = int(self._rng.integers(0, max(1, img.shape[0] - crop_size + 1)))

@@ -80,9 +80,11 @@ class EvalHub:
                 new_params=spec.get("new_params") or {})
             required = getattr(iface.model, "metadata_keys", None)
             if required:
-                missing = [k for k in required
-                           if not any(a == k or a.endswith(f"-{k}")
-                                      for a in available_keys)]
+                # 'all' consumes whatever the dataset provides
+                # (generate_channels semantics) — never a literal key
+                missing = [k for k in required if k != "all"
+                           and not any(a == k or a.endswith(f"-{k}")
+                                       for a in available_keys)]
                 if missing:
                     print(f"dropping {name}: dataset lacks metadata "
                           f"{missing}")

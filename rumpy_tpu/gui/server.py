@@ -95,8 +95,10 @@ class ModelServer:
         if getattr(self.interface.model, "im_input", "") == "interp":
             inp = self.bicubic(img)
         t0 = time.perf_counter()
-        rgb, _, _, _ = self.interface.net_run_and_process(inp[None],
-                                                          metadata=metadata)
+        # pad to 8-px buckets: arbitrary uploaded sizes must share
+        # compiled programs, not trigger a fresh XLA compile each
+        rgb, _, _, _ = self.interface.net_run_and_process(
+            inp[None], metadata=metadata, pad_multiple=8)
         return rgb[0], time.perf_counter() - t0
 
 

@@ -485,6 +485,21 @@ def compute_num_metadata(metadata: Optional[Sequence[str]],
     return n
 
 
+def select_metadata_columns(metadata, keys, requested):
+    """Mask a (B, K) metadata matrix down to the requested key list —
+    generate_channels selection semantics (__init__.py:93-96): 'all' in
+    the requested list selects EVERY column; otherwise a column is kept
+    when its key matches a requested name exactly or as the suffix of a
+    'step-op-name' CSV column. Shared by QModelHandler and the attribute
+    GAN handlers so the two families cannot diverge."""
+    if keys is None or requested is None or "all" in requested:
+        return metadata
+    mask = [any(k == m or k.endswith(f"-{m}") for m in requested)
+            for k in keys]
+    idx = np.nonzero(mask)[0]
+    return metadata[:, idx]
+
+
 class QModelHandler(BaseHandler):
     """Base for metadata-injection models (QModel parity,
     attention_manipulators/__init__.py:11-202)."""
@@ -512,12 +527,7 @@ class QModelHandler(BaseHandler):
         """Mask the full metadata matrix down to the requested keys
         (generate_channels selection, __init__.py:86-107). With no key list
         the matrix is assumed pre-selected."""
-        if keys is None or self.metadata_keys is None:
-            return metadata
-        mask = [any(k == m or k.endswith(f"-{m}") for m in self.metadata_keys)
-                for k in keys]
-        idx = np.nonzero(mask)[0]
-        return metadata[:, idx]
+        return select_metadata_columns(metadata, keys, self.metadata_keys)
 
     def apply(self, params, batch, train=False, rng=None, extra=None):
         meta = batch.get("metadata")

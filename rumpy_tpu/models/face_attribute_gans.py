@@ -314,14 +314,17 @@ class FaceSRAttributesDiscriminator(nn.Module):
 
         h = TConv(nf * 4, 5, 1, 2, dtype=self.dtype)(h)
         h = nn.relu(_maxpool(h))
-        h = nn.Dropout(0.2, deterministic=True)(h)
+        # torch nn.Dropout2d: drops whole channel maps
+        h = nn.Dropout(0.2, broadcast_dims=(1, 2),
+                       deterministic=not train)(h)
         h = TConv(nf * 8, 3, 1, 1, dtype=self.dtype)(h)
         h = nn.relu(_maxpool(h))
-        h = nn.Dropout(0.2, deterministic=True)(h)
+        h = nn.Dropout(0.2, broadcast_dims=(1, 2),
+                       deterministic=not train)(h)
         h = _flatten_nchw(h)
         h = nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = nn.relu(h)
-        h = nn.Dropout(0.5, deterministic=True)(h)
+        h = nn.Dropout(0.5, deterministic=not train)(h)
         return nn.sigmoid(nn.Dense(1, dtype=self.dtype,
                                    param_dtype=jnp.float32)(h))
 
@@ -946,12 +949,9 @@ class AttributeGANHandler(BaseGANHandler):
                 "num_metadata": self.num_metadata}
 
     def select_metadata(self, metadata, keys=None):
-        if keys is None or self.metadata_keys is None:
-            return metadata
-        mask = [any(k == m or k.endswith(f"-{m}")
-                    for m in self.metadata_keys) for k in keys]
-        idx = np.nonzero(mask)[0]
-        return metadata[:, idx]
+        from rumpy_tpu.models.attention_manipulators import (
+            select_metadata_columns)
+        return select_metadata_columns(metadata, keys, self.metadata_keys)
 
     # -- state ---------------------------------------------------------
 
@@ -991,16 +991,19 @@ class AttributeGANHandler(BaseGANHandler):
                                train=False)
         return sr, g_vars
 
-    def _disc_apply(self, d_params, d_vars, img, train, meta=None):
+    def _disc_apply(self, d_params, d_vars, img, train, meta=None,
+                    rng=None):
         variables = {"params": d_params, **d_vars}
         args = [img] if self.arch == "fmf" else [img, meta]
         mutable = [k for k in d_vars] if (train and d_vars) else False
+        rngs = ({"dropout": rng} if (train and rng is not None) else None)
         if mutable:
             out, mut = self.discriminator.apply(variables, *args,
                                                 train=train,
-                                                mutable=mutable)
+                                                mutable=mutable, rngs=rngs)
             return out, mut
-        out = self.discriminator.apply(variables, *args, train=train)
+        out = self.discriminator.apply(variables, *args, train=train,
+                                       rngs=rngs)
         return out, d_vars
 
     def apply(self, params, batch, train=False, rng=None, extra=None):
@@ -1017,7 +1020,7 @@ class AttributeGANHandler(BaseGANHandler):
     # -- training ------------------------------------------------------
 
     def _gan_step_impl(self, state: TrainState, batch, vgg_params=None):
-        rng, _sub = jax.random.split(state.rng)
+        rng, drop1, drop2 = jax.random.split(state.rng, 3)
         extra = state.extra
         d_vars = extra["d_vars"]
         g_vars = extra["g_vars"]
@@ -1059,10 +1062,10 @@ class AttributeGANHandler(BaseGANHandler):
         def d_loss_fn(d_params):
             pred_real, new_vars = self._disc_apply(d_params, d_vars,
                                                    batch["hr"], True,
-                                                   meta=meta)
+                                                   meta=meta, rng=drop1)
             pred_fake, new_vars = self._disc_apply(d_params, new_vars,
                                                    sr_detached, True,
-                                                   meta=meta)
+                                                   meta=meta, rng=drop2)
             loss_real, loss_fake = self._adv_d_loss(pred_fake, pred_real)
             return loss_real + loss_fake, (loss_real, loss_fake,
                                            new_vars)

@@ -249,14 +249,16 @@ class _BNHandlerMixin:
         return sr, {}, extra
 
     def init_state(self, seed=None):
-        state = super().init_state(seed)
+        from rumpy_tpu.models.base import TrainState
         rng = jax.random.PRNGKey(self.seed if seed is None else seed)
-        variables = self.module.init(rng, *self.example_inputs())
-        extra = dict(state.extra)
+        prng, erng, srng = jax.random.split(rng, 3)
+        variables = self.module.init(prng, *self.example_inputs())
+        params = variables["params"]
+        extra = dict(self.init_extra(erng) or {})
         extra["vars"] = {"batch_stats": variables.get("batch_stats", {})}
-        return state.replace(params=variables["params"],
-                             opt_state=self.tx.init(variables["params"]),
-                             extra=extra)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.tx.init(params), extra=extra,
+                          rng=srng)
 
 
 @register_model("sparnet")

@@ -124,12 +124,14 @@ class TrainingHandler:
                 mat, keys = pipe.metadata_matrix(meta)
                 new_batch = dict(batch)
                 new_batch["lr"] = lr
-                if requested:
+                if requested and "all" not in requested:
                     idx = [i for r in requested for i, k in enumerate(keys)
                            if k == r or k.endswith(f"-{r}")]
                     if idx:
                         new_batch["metadata"] = mat[:, np.asarray(idx)]
                 else:
+                    # no key list (or 'all'): pass every column
+                    # (generate_channels 'all' semantics)
                     new_batch["metadata"] = mat
                 return new_batch
 
@@ -267,29 +269,38 @@ class TrainingHandler:
 
         from rumpy_tpu.utils.color import rgb_to_ycbcr
         first = True
+        # Per-dispatch cap within a shape bucket: a 100-image same-shape
+        # val set (DIV2K 2K) must not become one 100-image dispatch —
+        # the SR activations alone would blow HBM. The cap still
+        # amortizes compiles (one program per bucket shape regardless).
+        chunk = int((self.cfg.get("training") or {}).get("eval_batch_size")
+                    or 8)
         for shape, items in groups.items():
-            lr_stack = np.stack([it[0] for it in items])
-            meta_stack = (np.stack([it[2] for it in items])
-                          if items[0][2] is not None else None)
-            rgb, ycc, _, _ = self.model.net_run_and_process(
-                lr_stack, metadata=meta_stack)
-            hr_stack = np.stack([it[1] for it in items])
-            if hr_stack.shape[-1] == 3:
-                hr_y = np.asarray(rgb_to_ycbcr(hr_stack, y_only=True,
-                                               im_type="jpg"))
-            else:
-                hr_y = hr_stack
-            sr_y = np.clip(np.asarray(ycc[..., :1]), 0, 1)
-            res = self.metric_hub.run_metrics(sr_y, hr_y, max_value=1.0)
-            for k, v in res.items():
-                agg[f"val-{k}"].extend(v)
-            if first and self.model.logs_dir and not self.model.no_directories:
-                # first val SR sample per epoch (base_handler.py:287-291)
-                from rumpy_tpu.utils.visualization import safe_image_save
-                sample_dir = os.path.join(self.model.logs_dir, "samples")
-                safe_image_save(np.asarray(rgb[0]), sample_dir,
-                                f"epoch_{epoch}_sample.png")
-                first = False
+            for lo in range(0, len(items), chunk):
+                part = items[lo:lo + chunk]
+                lr_stack = np.stack([it[0] for it in part])
+                meta_stack = (np.stack([it[2] for it in part])
+                              if part[0][2] is not None else None)
+                rgb, ycc, _, _ = self.model.net_run_and_process(
+                    lr_stack, metadata=meta_stack)
+                hr_stack = np.stack([it[1] for it in part])
+                if hr_stack.shape[-1] == 3:
+                    hr_y = np.asarray(rgb_to_ycbcr(hr_stack, y_only=True,
+                                                   im_type="jpg"))
+                else:
+                    hr_y = hr_stack
+                sr_y = np.clip(np.asarray(ycc[..., :1]), 0, 1)
+                res = self.metric_hub.run_metrics(sr_y, hr_y, max_value=1.0)
+                for k, v in res.items():
+                    agg[f"val-{k}"].extend(v)
+                if first and self.model.logs_dir \
+                        and not self.model.no_directories:
+                    # first val SR sample per epoch (base_handler.py:287-291)
+                    from rumpy_tpu.utils.visualization import safe_image_save
+                    sample_dir = os.path.join(self.model.logs_dir, "samples")
+                    safe_image_save(np.asarray(rgb[0]), sample_dir,
+                                    f"epoch_{epoch}_sample.png")
+                    first = False
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
     # ------------------------------------------------------------------

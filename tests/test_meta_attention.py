@@ -131,3 +131,21 @@ def test_net_forensic_interface(tmp_path, rng):
         metadata=rng.random((1, 1)).astype(np.float32))
     assert img.shape == (1, 16, 16, 3)
     assert any(k.endswith("attention") for k in forensic)
+
+
+def test_select_metadata_all_semantics():
+    """generate_channels 'all' semantics (attention_manipulators/
+    __init__.py:93-96): 'all' selects every column; named keys select by
+    exact or '-suffix' match."""
+    import numpy as np
+    from rumpy_tpu.models.attention_manipulators import (
+        select_metadata_columns)
+    mat = np.arange(12, dtype=np.float32).reshape(2, 6)
+    keys = [f"0-op-k{i}" for i in range(6)]
+    np.testing.assert_array_equal(
+        select_metadata_columns(mat, keys, ["all"]), mat)
+    sel = select_metadata_columns(mat, keys, ["k2"])
+    np.testing.assert_array_equal(sel, mat[:, [2]])
+    # no key list: matrix assumed pre-selected
+    np.testing.assert_array_equal(
+        select_metadata_columns(mat, None, ["k2"]), mat)
