@@ -175,10 +175,17 @@ class RealESRGANBlur(_BlurBase):
         if self.request_kernel_metadata:
             meta_out = dict(meta)
             if self.normalize_metadata:
-                meta_out["sigma_x"] = normalize(meta["sigma_x"],
-                                                *self.cfg.sigma_x_range)
-                meta_out["sigma_y"] = normalize(meta["sigma_y"],
-                                                *self.cfg.sigma_y_range)
+                # sinc rows carry masked-zero sigmas ("unset fields read
+                # 0", reference __init__.py:206-209) — normalizing the
+                # placeholder would turn 0 into (0-lo)/(hi-lo) < 0
+                applies = meta["kernel_type"] != float(
+                    blur_kernel_codes["sinc"])
+                meta_out["sigma_x"] = jnp.where(
+                    applies, normalize(meta["sigma_x"],
+                                       *self.cfg.sigma_x_range), 0.0)
+                meta_out["sigma_y"] = jnp.where(
+                    applies, normalize(meta["sigma_y"],
+                                       *self.cfg.sigma_y_range), 0.0)
         meta_out.update(self._kernel_extras(kernels))
         return out, meta_out
 

@@ -125,6 +125,12 @@ class JMCompress(DegradationOp):
             rec = os.path.join(td, "rec.yuv")
             h264 = os.path.join(td, "out.h264")
             w, h = pil.size
+            if h % 2 or w % 2:
+                # 4:2:0 needs even dims (the JM even-dimension constraint
+                # the reference's downsampler enforces); crop the odd edge
+                h -= h % 2
+                w -= w % 2
+                pil = pil.crop((0, 0, w, h))
             ycc = np.asarray(pil.convert("YCbCr"))
             # 4:2:0 planar as JM expects.
             y = ycc[..., 0]
@@ -164,16 +170,27 @@ class JMCompress(DegradationOp):
         u8 = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
         h, w = u8.shape[:2]
         try:
-            from rumpy_tpu import native
-            ev_h, ev_w = h - h % 2, w - w % 2
-            comp = native.h264_intra(u8[:ev_h, :ev_w], qpi)
-            u8 = u8.copy()
-            u8[:ev_h, :ev_w] = comp
-            out = Image.fromarray(u8) if was_pil else u8
-        except Exception:
-            dev = jpeg_ops.h264_intra_compress(
-                jnp.asarray(arr)[None], jnp.array([float(qpi)]))
-            out = from_float_array(np.asarray(dev[0]), was_pil)
+            from rumpy_tpu.native import NativeUnavailable, h264_intra
+        except ImportError:
+            NativeUnavailable = ImportError  # pragma: no cover
+            h264_intra = None
+        if h264_intra is not None:
+            try:
+                ev_h, ev_w = h - h % 2, w - w % 2
+                comp = h264_intra(u8[:ev_h, :ev_w], qpi)
+                u8 = u8.copy()
+                u8[:ev_h, :ev_w] = comp
+                return (Image.fromarray(u8) if was_pil else u8,
+                        {"qpi": self._norm(qpi)})
+            except NativeUnavailable:
+                # no g++ / build failed: the documented fallback case —
+                # fall through to the on-device DCT approximation. Any
+                # OTHER failure is a real bug and must surface, not
+                # silently degrade the dataset's fidelity.
+                pass
+        dev = jpeg_ops.h264_intra_compress(
+            jnp.asarray(arr)[None], jnp.array([float(qpi)]))
+        out = from_float_array(np.asarray(dev[0]), was_pil)
         return out, {"qpi": self._norm(qpi)}
 
     def call_with_tag(self, image, tag=""):

@@ -120,7 +120,14 @@ class ImagePipeline:
                     out_name = image_name[:dot] + f"_q{m}" + image_name[dot:]
                 final_metadata[out_name] = meta_dict
                 if save_to_dir:
-                    flux.save(os.path.join(save_to_dir, out_name))
+                    pil = (flux if hasattr(flux, "save") else
+                           Image.fromarray(np.clip(
+                               np.asarray(flux) * (255.0 if np.asarray(
+                                   flux).dtype.kind == "f" else 1.0),
+                               0, 255).astype(np.uint8)))
+                    if not os.path.splitext(out_name)[1]:
+                        out_name += ".png"  # raw-array inputs carry no ext
+                    pil.save(os.path.join(save_to_dir, out_name))
                 else:
                     final_images.append(flux)
 
@@ -134,8 +141,11 @@ class ImagePipeline:
 
     @staticmethod
     def _vectorize_metadata(final_metadata):
+        """Flatten per-image metadata dicts into a value matrix + key
+        list. Returns a 1-D vector for a single image, an (N, K) matrix
+        for several (each row in the same sorted-key order)."""
         meta_keys: List[str] = []
-        meta_vals = np.zeros(0)
+        rows: List[List[float]] = []
         ordered_keys: List[str] = []
         for image, meta_dict in final_metadata.items():
             values: List[float] = []
@@ -150,7 +160,12 @@ class ImagePipeline:
                 else:
                     values.append(v)
                     meta_keys.append(k)
-            meta_vals = np.array(values)
+            rows.append(values)
+        if not rows:
+            return np.zeros(0), meta_keys
+        meta_vals = np.asarray(rows)
+        if meta_vals.shape[0] == 1:
+            meta_vals = meta_vals[0]
         return meta_vals, meta_keys
 
     def _write_csvs(self, save_to_dir, final_metadata):
@@ -177,9 +192,11 @@ class ImagePipeline:
     # ------------------------------------------------------------------
 
     def supports_fused(self) -> bool:
+        from rumpy_tpu.degradations.base import DegradationOp
         for op in self.pipeline.values():
-            fn = getattr(type(op), "batch_apply", None)
-            if fn is None:
+            # host-only ops inherit the raising base batch_apply — an
+            # identity check, since every op *has* the attribute
+            if type(op).batch_apply is DegradationOp.batch_apply:
                 return False
         return True
 

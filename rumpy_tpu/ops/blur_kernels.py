@@ -58,6 +58,13 @@ class BlurKernelConfig:
         for k in self.kernel_range:
             if k not in ALL_KERNEL_TYPES:
                 raise ValueError(f"Unknown kernel type {k}")
+        if self.kernel_size % 2 != 1:
+            # the centered mesh grid / padding math assumes odd sizes —
+            # the reference only ever draws odd sizes (2*randint+1); an
+            # even size would silently produce (k+1)-sized Gaussian
+            # kernels while sinc stayed at k
+            raise ValueError(
+                f"kernel_size must be odd, got {self.kernel_size}")
 
 
 def _mesh_grid(kernel_size: int):

@@ -24,9 +24,16 @@ from rumpy_tpu.utils.color import rgb_to_ycbcr
 
 
 def _box_filter_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Separable box sum over (H, W) with zero padding ('same')."""
+    """Separable box sum over (H, W) with zero padding ('same').
+
+    Ceil-left anchor: output[i] sums window [i - size//2, i + (size-1)//2]
+    — for even sizes this matches skimage's rank-filter footprint center
+    (shape//2) and the Pallas histogram kernel; it also makes
+    entropy_patch_positions' trim an exact VALID window so pooled[j] is
+    the patch whose top-left corner is j (torch avg_pool2d semantics,
+    reference image_functions.py:263-265)."""
     k = jnp.ones((size,), x.dtype)
-    pad_l = (size - 1) // 2
+    pad_l = size // 2
     pad_r = size - 1 - pad_l
     def conv1d(v, axis):
         vp = jnp.pad(v, [(pad_l, pad_r) if a == axis else (0, 0)
@@ -76,7 +83,7 @@ def entropy_patch_positions(image_rgb: jnp.ndarray, crop_size: int,
     import numpy as np
     y = rgb_to_ycbcr(image_rgb, y_only=True, im_type="jpg")[..., 0]
     gray = jnp.clip(jnp.round(y * 255.0), 0, 255)
-    ent = local_entropy(gray, region=region, levels=levels)
+    ent = local_entropy_best(gray, region=region, levels=levels)
     # avg-pool at crop size, stride 1 ('VALID')
     pooled = _box_filter_same(ent, crop_size)[
         crop_size // 2: ent.shape[0] - (crop_size - 1) // 2,

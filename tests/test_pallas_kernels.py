@@ -22,13 +22,21 @@ def test_pallas_entropy_matches_bruteforce(rng):
             assert abs(got[y, x] - want) < 1e-5, (y, x)
 
 
-def test_pallas_entropy_matches_xla_interior(rng):
+import pytest
+
+
+@pytest.mark.parametrize("region", [9, 10])
+def test_pallas_entropy_matches_xla_interior(rng, region):
+    """Odd AND even regions: the XLA box filter's ceil-left anchor must
+    agree with the Pallas kernel's [x-r//2, x+(r-1)//2] window (and with
+    skimage's even-footprint center)."""
     import jax.numpy as jnp
     from rumpy_tpu.ops.entropy import local_entropy
     from rumpy_tpu.ops.pallas.entropy_kernel import local_entropy_pallas
     img = (rng.random((40, 128)) * 255).astype(np.uint8)
     ref = np.asarray(local_entropy(jnp.asarray(img.astype(np.float32)),
-                                   region=9, levels=32))
-    got = np.asarray(local_entropy_pallas(jnp.asarray(img), region=9,
+                                   region=region, levels=32))
+    got = np.asarray(local_entropy_pallas(jnp.asarray(img), region=region,
                                           levels=32, interpret=True))
-    np.testing.assert_allclose(got[8:-8, 8:-8], ref[8:-8, 8:-8], atol=1e-4)
+    m = region
+    np.testing.assert_allclose(got[m:-m, m:-m], ref[m:-m, m:-m], atol=1e-4)

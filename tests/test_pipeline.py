@@ -151,3 +151,63 @@ def test_random_compress_dual_columns(rng):
     _, meta = op(img)
     assert set(meta) == {"jm_qpi", "jpeg_quality"}
     assert (meta["jm_qpi"] == 0) != (meta["jpeg_quality"] == 0)
+
+
+def test_run_pipeline_multi_image_metadata(tmp_path, rng):
+    """meta_vals must contain one row per image, not just the last one."""
+    import numpy as np
+    from PIL import Image
+    from rumpy_tpu.degradations.pipeline import ImagePipeline
+    src = tmp_path / "src"
+    src.mkdir()
+    for n in ("a", "b", "c"):
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(
+            np.uint8)).save(src / f"{n}.png")
+    pipe = ImagePipeline([["jpegcompress", "j"]],
+                         deg_configs={"j": {"quality": 60,
+                                            "random_compression": True,
+                                            "compression_range": [20, 80]}})
+    files = sorted(str(p) for p in src.iterdir())
+    _, vals, keys = pipe.run_pipeline(image_files=files)
+    assert vals.shape == (3, len(keys))
+    # random qualities: rows must not all be identical
+    assert len({tuple(r) for r in np.asarray(vals)}) > 1
+
+
+def test_run_pipeline_ndarray_input_saves(tmp_path, rng):
+    import numpy as np
+    from rumpy_tpu.degradations.pipeline import ImagePipeline
+    pipe = ImagePipeline([["jpegcompress", "j"]],
+                         deg_configs={"j": {"quality": 60}})
+    out = tmp_path / "out"
+    out.mkdir()
+    arr = (rng.random((16, 16, 3))).astype(np.float32)
+    pipe.run_pipeline(images=[arr], save_to_dir=str(out))
+    assert (out / "temp_name_0.png").is_file()
+
+
+def test_even_blur_kernel_size_rejected():
+    import pytest
+    from rumpy_tpu.ops.blur_kernels import BlurKernelConfig
+    with pytest.raises(ValueError, match="odd"):
+        BlurKernelConfig(kernel_size=20)
+
+
+def test_sinc_rows_keep_zero_sigma_under_normalization(rng):
+    """Masked-zero sigma placeholders on sinc rows stay 0 after
+    normalization (reference 'unset fields read 0' contract)."""
+    import jax
+    import numpy as np
+    from rumpy_tpu.config.constants import blur_kernel_codes
+    from rumpy_tpu.registry import get_tool
+    op = get_tool("realesrganblur")(
+        kernel_range=["iso", "sinc"], kernel_size=9,
+        request_kernel_metadata=True, normalize_metadata=True)
+    _, meta = op.batch_apply(jax.random.PRNGKey(0),
+                             np.zeros((64, 16, 16, 3), np.float32))
+    kt = np.asarray(meta["kernel_type"])
+    sx = np.asarray(meta["sigma_x"])
+    sinc = kt == float(blur_kernel_codes["sinc"])
+    assert sinc.any() and (~sinc).any()
+    assert np.all(sx[sinc] == 0.0)
+    assert np.all(sx[~sinc] >= 0.0)
