@@ -78,6 +78,12 @@ class SISRInterface:
             self.state, self.model_epoch = self.model.load_model(
                 self.model_save_dir, load_epoch, summary_csv=summary)
             self.model_epoch += 1  # resume from the NEXT epoch
+            # phase-switched handlers (IKC pretrain gate, GAN phases)
+            # must know the loaded epoch — a freshly-loaded model is not
+            # at epoch 0 (reference restores curr_epoch from checkpoint,
+            # base_architecture.py:286-300)
+            if hasattr(self.model, "set_epoch"):
+                self.model.set_epoch(self.model_epoch)
 
     # ------------------------------------------------------------------
     # Config persistence / diff arbitration (base_interface.py:170-206)

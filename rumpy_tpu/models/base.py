@@ -346,7 +346,10 @@ class BaseHandler:
             "handler_metadata": self.handler_metadata(),
         }
         loaded = ckpt.load_checkpoint(path, template)
-        opt_state = (template_state.opt_state if skip_optimizer_load
+        # minimal=True checkpoints carry no optimizer state — fall back
+        # to a fresh one (base_interface.py minimal-save semantics)
+        opt_state = (template_state.opt_state
+                     if skip_optimizer_load or "optimizer" not in loaded
                      else loaded["optimizer"])
         state = TrainState(step=jnp.asarray(loaded["step"]),
                            params=loaded["network"], opt_state=opt_state,

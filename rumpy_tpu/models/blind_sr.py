@@ -222,8 +222,8 @@ class ContrastiveBlindSRHandler(BaseHandler):
                 jax.random.normal(qrng, (self.K, self.encoder_dim)))
             extra["queue_ptr"] = jnp.zeros((), jnp.int32)
             if self.combined_loss_mode == "supmoco":
-                extra["queue_labels"] = jnp.full(
-                    (self.K,), max(self.num_classes, 1), jnp.int32)
+                # -1 sentinel: one_hot(-1) == 0, never matches a class
+                extra["queue_labels"] = jnp.full((self.K,), -1, jnp.int32)
 
         opt_params = params
         state = TrainState(step=jnp.zeros((), jnp.int32), params=opt_params,
@@ -246,12 +246,30 @@ class ContrastiveBlindSRHandler(BaseHandler):
                         or state.params.get("encoder"))
         loaded = serialization.from_state_dict(enc_template,
                                                raw["network"])
+        # the predictor's BatchNorm running stats travel with its
+        # checkpoint as extra['q_bstats'] — without them the frozen
+        # encoder would run use_running_average=True against fresh
+        # mean-0/var-1 statistics and emit garbage embeddings
+        new_extra = dict(state.extra)
+        ckpt_bstats = (raw.get("extra") or {}).get("q_bstats")
+        if ckpt_bstats and state.extra.get("bstats"):
+            # the predictor's stats are the encoder's internal layout;
+            # the pipeline nests them under its 'encoder' submodule
+            tmpl = state.extra["bstats"]
+            if "encoder" in tmpl and "encoder" not in ckpt_bstats:
+                new_extra["bstats"] = {
+                    **tmpl,
+                    "encoder": serialization.from_state_dict(
+                        tmpl["encoder"], ckpt_bstats)}
+            else:
+                new_extra["bstats"] = serialization.from_state_dict(
+                    tmpl, ckpt_bstats)
         if "frozen_encoder" in state.extra:
-            return state.replace(extra={**state.extra,
-                                        "frozen_encoder": loaded})
+            new_extra["frozen_encoder"] = loaded
+            return state.replace(extra=new_extra)
         params = dict(state.params)
         params["encoder"] = loaded
-        return state.replace(params=params,
+        return state.replace(params=params, extra=new_extra,
                              opt_state=self.tx.init(params))
 
     # ------------------------------------------------------------------
@@ -284,6 +302,18 @@ class ContrastiveBlindSRHandler(BaseHandler):
     # ------------------------------------------------------------------
     # Joint (combined_loss_mode) training step
     # ------------------------------------------------------------------
+
+    def train_batch(self, state, batch):
+        if self.combined_loss_mode in ("moco", "supmoco"):
+            batch = dict(batch)
+            lr = batch.get("lr")
+            if "image_key" not in batch and lr is not None and lr.ndim == 5:
+                # multi-crop dataset stack (B, P, h, w, C): crop 0 is the
+                # SR/query view, crops 1.. the contrastive keys
+                # (reference crop_count reshaping, handlers.py:534-537)
+                batch["lr"] = lr[:, 0]
+                batch["image_key"] = lr[:, 1:].reshape((-1,) + lr.shape[2:])
+        return self._train_step(state, batch)
 
     def _train_step_impl(self, state: TrainState, batch):
         if self.combined_loss_mode not in ("moco", "supmoco"):
@@ -320,13 +350,21 @@ class ContrastiveBlindSRHandler(BaseHandler):
         def loss_fn(params):
             sr, new_bstats = self._apply_pipeline(params, extra, batch["lr"],
                                                   True)
-            # contrastive logits on the query crop
+            # contrastive logits on the query crop — same train-mode BN
+            # (batch statistics) as the embedding the generator just
+            # consumed; the extra mutation is discarded so stats advance
+            # exactly once per step
             variables = {"params": params}
             if new_bstats:
                 variables["batch_stats"] = new_bstats
-            fea, outs = self.module.apply(
-                variables, batch["lr"], train=False,
-                method=lambda m, v, train: m.encoder(v, train=train))
+                (fea, outs), _ = self.module.apply(
+                    variables, batch["lr"], train=True,
+                    mutable=["batch_stats"],
+                    method=lambda m, v, train: m.encoder(v, train=train))
+            else:
+                fea, outs = self.module.apply(
+                    variables, batch["lr"], train=True,
+                    method=lambda m, v, train: m.encoder(v, train=train))
             q = _normalize(outs["q"])
             queue = jax.lax.stop_gradient(extra["queue"])
             n = q.shape[0]

@@ -267,11 +267,12 @@ class SupMoCoHandler(MoCoHandler):
         self.num_classes = int(num_classes)
 
     def init_queue_sides(self):
-        # unseen-class sentinel = num_classes (matches the reference's
-        # ones * num_classes initialization)
-        return {"queue_labels": jnp.full((self.K,),
-                                         max(self.num_classes, 1),
-                                         jnp.int32)}
+        # unseen-class sentinel = -1: one_hot(-1) is the zero vector, so
+        # unfilled queue slots can never one-hot-match a real class (the
+        # reference's ones*num_classes sentinel relied on num_classes
+        # being registered before init — with the 0 default it collided
+        # with class 1)
+        return {"queue_labels": jnp.full((self.K,), -1, jnp.int32)}
 
     def compute_logits(self, q, k, extra, batch):
         if self.num_classes == 0:

@@ -427,6 +427,14 @@ class DANHandler(BaseHandler):
             srs, ker_maps = out
             target = batch["metadata"]
             kernel_preds = ker_maps
+            if self.selected_metadata and \
+                    target.shape[-1] != len(self.selected_metadata):
+                raise ValueError(
+                    f"DAN selected_metadata={self.selected_metadata} "
+                    f"predicts {len(self.selected_metadata)} values but "
+                    f"the batch metadata has {target.shape[-1]} columns — "
+                    "set data.metadata to the same key list so the "
+                    "pipeline selects matching columns")
         target = target.astype(jnp.float32)
         crit = PIXEL_LOSSES[self.loss_type]
         losses: Dict[str, jnp.ndarray] = {}

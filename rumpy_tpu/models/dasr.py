@@ -41,19 +41,23 @@ class DAConv(nn.Module):
     def __call__(self, x, k_v):
         b, h, w, c = x.shape
         ks = self.kernel_size
-        # branch 1: per-example depthwise kernel from the embedding
+        # branch 1: per-(example, channel) depthwise kernels from the
+        # embedding: the reference views its (B, 64*ks*ks) prediction as
+        # (B*64, 1, ks, ks) and convolves with groups=b*c (DASR.py:39-40,
+        # channels fixed at 64 there); generalized to c channels here
         k = nn.Dense(64, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32)(k_v)
         k = nn.leaky_relu(k, 0.1)
-        k = nn.Dense(64 * ks * ks, use_bias=False, dtype=self.dtype,
+        k = nn.Dense(c * ks * ks, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32)(k)
-        kernels = k.reshape(b, 64, ks, ks)[:, 0]  # one kernel per example
+        kernels = k.reshape(b * c, ks, ks)
         pad = (ks - 1) // 2
         xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # folded channel index = example*c + channel, matching the
+        # kernel flattening order above
         folded = jnp.moveaxis(xp, 0, 2).reshape(1, h + 2 * pad, w + 2 * pad,
                                                 b * c)
-        filt = jnp.repeat(kernels.astype(x.dtype), c, axis=0)
-        filt = jnp.moveaxis(filt, 0, -1)[:, :, None, :]
+        filt = jnp.moveaxis(kernels.astype(x.dtype), 0, -1)[:, :, None, :]
         out = jax.lax.conv_general_dilated(
             folded, filt, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -239,12 +243,14 @@ class DASRHandler(BaseHandler):
             losses = {"contrastive-loss": ce}
             total = ce
             if joint:
+                # fea is NOT detached: the reference's joint phase
+                # backpropagates the SR L1 into the encoder too
+                # (DASR.py:195-203 G(x, fea) on the live embedding)
                 sr = self.module.apply(
                     {"params": params, **({"batch_stats": new_bstats}
                                           if new_bstats else {})},
                     batch["image_query"],
-                    method=lambda m, v: m.sr_net(
-                        v, jax.lax.stop_gradient(fea)))
+                    method=lambda m, v: m.sr_net(v, fea))
                 pixel = jnp.mean(jnp.abs(sr - batch["hr"]))
                 losses["pixel-loss"] = pixel
                 total = pixel + ce
@@ -276,8 +282,16 @@ class DASRHandler(BaseHandler):
                              rng=rng), losses
 
     def train_batch(self, state, batch):
+        batch = dict(batch)
+        lr = batch.get("lr")
+        if "image_query" not in batch and lr is not None and lr.ndim == 5:
+            # multi-crop dataset stack (B, P, h, w, C): crop 0 is the
+            # query, crop 1 the key — the reference's run_train slices
+            # x[:, 0]/x[:, 1] the same way (handlers.py:369-375)
+            batch["image_query"] = lr[:, 0]
+            batch["image_key"] = lr[:, 1 % lr.shape[1]]
+            batch.pop("lr")
         if self.curr_epoch < self.encoder_pretrain_epochs:
-            batch = dict(batch)
             batch.pop("hr", None)
         return self._train_step(state, batch)
 

@@ -106,6 +106,8 @@ class IKCHandler(BaseHandler):
         self._pretrain_step = jax.jit(self._pretrain_impl,
                                       donate_argnums=(0,))
         self._ikc_step = jax.jit(self._ikc_impl, donate_argnums=(0,))
+        self._eval_pre = jax.jit(self._eval_pretrain_impl)
+        self._eval_blind = jax.jit(self._eval_blind_impl)
 
     def set_epoch(self, epoch: int) -> None:
         self.curr_epoch = epoch
@@ -164,7 +166,9 @@ class IKCHandler(BaseHandler):
         return self.module.apply({"params": params}, x, code)
 
     def _pretrain_impl(self, state: TrainState, batch):
-        rng, _ = jax.random.split(state.rng)
+        rng, dsub = jax.random.split(state.rng)
+        if self.input_fn is not None:  # fused online degradation
+            batch = self.input_fn(dsub, batch)
         code = batch["metadata"].astype(jnp.float32)
 
         def loss_fn(sr_params):
@@ -184,7 +188,9 @@ class IKCHandler(BaseHandler):
                              rng=rng), losses
 
     def _ikc_impl(self, state: TrainState, batch):
-        rng, _ = jax.random.split(state.rng)
+        rng, dsub = jax.random.split(state.rng)
+        if self.input_fn is not None:  # fused online degradation
+            batch = self.input_fn(dsub, batch)
         real_code = batch["metadata"].astype(jnp.float32)
         params = dict(state.params)
         opt_state = dict(state.opt_state)
@@ -242,12 +248,15 @@ class IKCHandler(BaseHandler):
             return self._pretrain_step(state, batch)
         return self._ikc_step(state, batch)
 
-    def _eval_step_impl(self, params_extra, batch):
-        params, extra = params_extra
-        meta = batch.get("metadata")
-        if self.curr_epoch < self.sftmd_pretrain_epochs and meta is not None:
-            return self._sr_apply(params, batch["lr"],
-                                  meta.astype(jnp.float32))
+    def _eval_pretrain_impl(self, params_extra, batch):
+        """SFTMD-pretrain-phase eval: ground-truth kernel code."""
+        params, _ = params_extra
+        return self._sr_apply(params, batch["lr"],
+                              batch["metadata"].astype(jnp.float32))
+
+    def _eval_blind_impl(self, params_extra, batch):
+        """Blind eval: predictor init + corrector loop (ikc_loop)."""
+        params, _ = params_extra
         code = self.module.apply({"params": params}, batch["lr"],
                                  method="predict")
         for _ in range(self.correction_steps):
@@ -255,6 +264,16 @@ class IKCHandler(BaseHandler):
             code = self.module.apply({"params": params}, sr, code,
                                      method="correct")
         return sr
+
+    def run_eval(self, state, batch):
+        # Phase dispatch happens HERE, per call — a curr_epoch check
+        # inside one jitted impl would be baked into the jit cache at
+        # first trace and never re-evaluated (and a freshly-loaded blind
+        # model would silently score against the ground-truth code).
+        if (self.curr_epoch < self.sftmd_pretrain_epochs
+                and batch.get("metadata") is not None):
+            return self._eval_pre((state.params, state.extra), batch)
+        return self._eval_blind((state.params, state.extra), batch)
 
     def handler_metadata(self):
         return {"best_epoch_cutoff": self.sftmd_pretrain_epochs,

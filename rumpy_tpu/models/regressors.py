@@ -515,6 +515,12 @@ class StandardRegressorHandler(BaseHandler):
         out = super().run_eval(state, batch)
         return self.unnorm(out)
 
+    def run_embedding(self, state, images):
+        """ContrastiveEval hook: a direct regressor's 'embedding' is its
+        predicted degradation vector (the reference's regression eval
+        clusters/inspects predictions the same way)."""
+        return self.run_eval(state, {"lr": jnp.asarray(images)})
+
 
 @register_model("basicnn")
 class BasicNNHandler(StandardRegressorHandler):

@@ -73,13 +73,14 @@ class RegressionTrainingHandler(TrainingHandler):
         if hasattr(handler, "register_classes") and self._num_classes:
             handler.register_classes(self._num_classes)
             handler.num_classes = self._num_classes
-            # queue label sentinel must match the class count
+            # unseen-slot sentinel: -1 (one_hot(-1) == 0, can never
+            # one-hot-match a real class regardless of registration order)
             import jax.numpy as jnp
             if "queue_labels" in self.model.state.extra:
                 self.model.state = self.model.state.replace(
                     extra={**self.model.state.extra,
                            "queue_labels": jnp.full(
-                               (handler.K,), self._num_classes, jnp.int32)})
+                               (handler.K,), -1, jnp.int32)})
         if hasattr(handler, "register_vector") and self._valid:
             vsize = cl.degradation_vector_size(self._valid)
             handler.register_vector(vsize)

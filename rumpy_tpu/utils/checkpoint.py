@@ -66,8 +66,15 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
     raw = blob["arrays"]
     meta = json.loads(bytes(blob["meta_json"]).decode())
     if template is not None:
-        arr_template = {k: v for k, v in template.items() if k not in meta}
-        raw = serialization.from_state_dict(arr_template, raw)
+        # restrict the template to keys the checkpoint actually holds —
+        # a minimal=True save stripped 'optimizer', and from_state_dict
+        # would otherwise raise on the key mismatch before the caller's
+        # skip_optimizer_load could take effect
+        arr_template = {k: v for k, v in template.items()
+                        if k not in meta and k in raw}
+        restored = serialization.from_state_dict(arr_template, raw)
+        raw = {**{k: v for k, v in raw.items() if k not in arr_template},
+               **restored}
     raw = dict(raw)
     raw.update(meta)
     return raw

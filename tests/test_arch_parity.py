@@ -755,3 +755,59 @@ def test_rcan_one_training_step_parity(ref_arch, rng):
     for a, b in zip(flat_got, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5)
+
+
+def test_dasr_da_conv_forward_parity(ref_arch, rng):
+    """DA_conv parity (blur_kernel_blind_sr/DASR.py:14-46): one predicted
+    depthwise kernel per (example, channel) — groups=b*c — plus the
+    channel-attention branch."""
+    _, _, torch = ref_arch
+    import importlib.util
+    import sys
+    import types
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    base = "/root/reference/rumpy"
+    for pkg in ["rumpy.SISR.models.blur_kernel_blind_sr",
+                "rumpy.regression", "rumpy.regression.models",
+                "rumpy.regression.models.contrastive_learning"]:
+        sys.modules.setdefault(pkg, types.ModuleType(pkg))
+    _load("rumpy.SISR.models.blur_kernel_blind_sr.dasr_common",
+          f"{base}/SISR/models/blur_kernel_blind_sr/dasr_common.py")
+    _load("rumpy.regression.models.contrastive_learning.encoding_models",
+          f"{base}/regression/models/contrastive_learning/encoding_models.py")
+    # DASR.py imports MoCo only for DASRPipeline (unused here) — stub it
+    # instead of dragging in torchvision via base_models
+    moco_stub = types.ModuleType(
+        "rumpy.regression.models.contrastive_learning.moco")
+    moco_stub.MoCo = object
+    sys.modules["rumpy.regression.models.contrastive_learning.moco"] = \
+        moco_stub
+    dasrm = _load("ref_dasr_net",
+                  f"{base}/SISR/models/blur_kernel_blind_sr/DASR.py")
+
+    import jax
+    import jax.numpy as jnp
+    from rumpy_tpu.models.dasr import DAConv
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    torch.manual_seed(0)
+    net = dasrm.DA_conv(64, 64, 3, 8)
+    net.eval()
+    mod = DAConv(channels_out=64, kernel_size=3, reduction=8)
+
+    x = rng.random((2, 64, 6, 6)).astype(np.float32)
+    emb = rng.random((2, 64)).astype(np.float32)
+    xh = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = mod.init(jax.random.PRNGKey(0), xh, jnp.asarray(emb))
+    params = convert_by_order(net.state_dict(), variables["params"])
+    with torch.no_grad():
+        ref = net([torch.from_numpy(x), torch.from_numpy(emb)]).numpy()
+    got = np.asarray(mod.apply({"params": params}, xh, jnp.asarray(emb)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=2e-5)

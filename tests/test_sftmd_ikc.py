@@ -80,3 +80,31 @@ def test_ikc_checkpoint(rng, tmp_path):
                       fromlist=["load_checkpoint"]).load_checkpoint(
         str(tmp_path / "train_model_0"))
     assert meta["handler_metadata"]["best_epoch_cutoff"] == 0
+
+
+def test_ikc_eval_phase_dispatch(rng):
+    """run_eval must re-dispatch per call on curr_epoch: pretrain-phase
+    eval scores SFTMD with the ground-truth code; post-pretrain eval runs
+    the blind predictor+corrector loop — and a stale jit cache must not
+    pin the first-traced branch."""
+    import numpy as np
+    from rumpy_tpu.registry import get_model
+    h = get_model("ikc")(scale=2, sftmd_pretrain_epochs=2,
+                         correction_steps=2, code_length=4, num_features=8,
+                         num_blocks=1)
+    state = h.init_state()
+    batch = {"lr": rng.random((1, 8, 8, 3)).astype(np.float32),
+             "metadata": rng.random((1, 4)).astype(np.float32)}
+    h.set_epoch(0)
+    out_pre = np.asarray(h.run_eval(state, batch))
+    h.set_epoch(5)
+    out_blind = np.asarray(h.run_eval(state, batch))
+    assert out_pre.shape == out_blind.shape == (1, 16, 16, 3)
+    # ground-truth-code SR vs blind-loop SR differ for random inits
+    assert not np.allclose(out_pre, out_blind)
+    # a freshly "loaded" blind model without metadata also takes the
+    # blind path (no KeyError on the missing ground-truth code)
+    h.set_epoch(5)
+    out_no_meta = np.asarray(h.run_eval(
+        state, {"lr": batch["lr"]}))
+    np.testing.assert_allclose(out_no_meta, out_blind, atol=1e-6)
