@@ -51,7 +51,7 @@ from rumpy_tpu.evaluation.eval_hub import EvalHub
 @click.option("--save_im/--no-save_im", default=None)
 @click.option("--gallery/--no-gallery", default=None,
               help="Write per-image comparison collages.")
-@click.option("--no_image_comparison", is_flag=True)
+@click.option("--no_image_comparison", is_flag=True, default=None)
 @click.option("--lanczos_upsample", is_flag=True, default=None)
 @click.option("--time_models/--no-time_models", default=None)
 @click.option("--lpips_weights", default=None, type=click.Path())
@@ -66,15 +66,15 @@ def main(config, out_loc, model_loc, scale, hr_dir, lr_dir, metadata_file,
          time_models, lpips_weights, fr_gallery, fr_extractor,
          fr_extractor_weights):
     cfg = load_config(config) if config else {}
-    # boolean is_flag options default to False (not None); only merge
-    # them when set, otherwise an unset flag would clobber a config-file
-    # `true` (net_eval.py's click_config_file gets this for free)
+    # every boolean option is tri-state (default=None): unset flags stay
+    # None and never clobber a config-file value, while an explicit
+    # --no-save_im (False) still overrides it
     cfg = merge_overrides(cfg, {k: v for k, v in {
         "out_loc": out_loc, "model_loc": model_loc, "scale": scale,
-        "save_im": save_im or None, "gallery": gallery or None,
-        "time_models": time_models or None,
-        "no_image_comparison": no_image_comparison or None,
-        "lanczos_upsample": lanczos_upsample or None,
+        "save_im": save_im, "gallery": gallery,
+        "time_models": time_models,
+        "no_image_comparison": no_image_comparison,
+        "lanczos_upsample": lanczos_upsample,
         "lpips_weights": lpips_weights, "fr_gallery": fr_gallery,
         "fr_extractor": fr_extractor,
         "fr_extractor_weights": fr_extractor_weights}.items()

@@ -239,13 +239,18 @@ class SuperResImages:
             from rumpy_tpu.ops.entropy import entropy_patch_positions
             # multi-crop calls this once per crop_index with identical
             # (img, crop_size, total) — compute the position list once
-            # per item and reuse it across the crops
+            # per item and reuse it across the crops. Key and value live
+            # in ONE attribute (atomic tuple read under the GIL): a
+            # concurrent prefetch thread can at worst force a recompute,
+            # never hand this image another image's coordinates.
             cache_key = (idx, crop_size, max(total, 1))
-            if getattr(self, "_entropy_cache_key", None) != cache_key:
-                self._entropy_cache_key = cache_key
-                self._entropy_cache = entropy_patch_positions(
-                    img, crop_size, max(total, 1))
-            ys, xs = self._entropy_cache
+            cached = getattr(self, "_entropy_cache", None)
+            if cached is not None and cached[0] == cache_key:
+                ys, xs = cached[1]
+            else:
+                ys, xs = entropy_patch_positions(img, crop_size,
+                                                 max(total, 1))
+                self._entropy_cache = (cache_key, (ys, xs))
             j = crop_index % len(ys)
             return int(ys[j]), int(xs[j])
         top = int(self._rng.integers(0, max(1, img.shape[0] - crop_size + 1)))
@@ -318,16 +323,20 @@ class SuperResImages:
                                                crop_index=ci,
                                                total=self.crop_count)
                 patch = lr_f[top:top + cs, left:left + cs]
-                if self.augmentations:
-                    patch, = self._augment(patch)
-                crops.append(patch)
                 if ci == 0 and hr_f is not None:
                     # HR aligned with the first (query) crop — joint
-                    # contrastive+SR training scores SR on that crop.
+                    # contrastive+SR training scores SR on that crop;
+                    # geometric augmentation must hit LR and HR with the
+                    # SAME flip/rot draws or the pair is misaligned
                     hs = cs * eff_scale
-                    out["hr"] = hr_f[top * eff_scale:top * eff_scale + hs,
-                                     left * eff_scale:left * eff_scale + hs
-                                     ].astype(np.float32)
+                    hr_patch = hr_f[top * eff_scale:top * eff_scale + hs,
+                                    left * eff_scale:left * eff_scale + hs]
+                    if self.augmentations:
+                        patch, hr_patch = self._augment(patch, hr_patch)
+                    out["hr"] = hr_patch.astype(np.float32)
+                elif self.augmentations:
+                    patch, = self._augment(patch)
+                crops.append(patch)
             out["lr"] = np.stack(crops).astype(np.float32)
             meta = self.metadata_map.get(tag)
             out["metadata"] = (meta if meta is not None
@@ -382,8 +391,17 @@ class VideoSequenceImages(SuperResImages):
 
     def __getitem__(self, idx: int):
         start = self._starts[idx]
+        # spatial coherence: every frame in the bundle must share ONE
+        # crop position and ONE augmentation draw — per-frame random
+        # crops would stack unrelated image regions on the channel axis.
+        # Reseed the shared RNG to a per-window seed around each frame
+        # fetch so all frames reproduce identical random choices (the
+        # seed itself is drawn from the ongoing stream, so windows still
+        # vary across epochs).
+        window_seed = int(self._rng.integers(0, 2 ** 31))
         frames = []
         for i in range(self.num_frames):
+            self._rng = np.random.default_rng(window_seed)
             item = super().__getitem__(start + i)
             frames.append(item["lr"])
             if i == self.hr_selection:

@@ -109,7 +109,10 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        # size from the sampler when present — it may yield fewer (or
+        # differently-ordered) indices than the dataset holds
+        n = (len(self.sampler) if self.sampler is not None
+             else len(self.dataset))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -121,7 +124,9 @@ class DataLoader:
             idx = np.arange(len(self.dataset))
             if self.shuffle:
                 self._rng.shuffle(idx)
-        n_b = len(self)
+        n = len(idx)
+        n_b = (n // self.batch_size if self.drop_last
+               else (n + self.batch_size - 1) // self.batch_size)
         return [idx[i * self.batch_size:(i + 1) * self.batch_size]
                 for i in range(n_b)]
 
@@ -167,7 +172,11 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
             ds_cfg = dict(sets_cfg[name])
             ds_cfg.setdefault("scale", scale)
             ds_cfg.setdefault("input", input)
-            ds_cfg.setdefault("colorspace", colorspace)
+            # eval sets stay RGB: the interface's net_run_and_process owns
+            # the YCbCr conversion + Cb/Cr reassembly for Y-channel models
+            # (reference standard_eval.py loads eval data in rgb)
+            ds_cfg.setdefault("colorspace",
+                              colorspace if is_train else "rgb")
             if is_train:
                 ds_cfg.setdefault("crop", crop)
                 ds_cfg.setdefault("crop_count", crop_count)

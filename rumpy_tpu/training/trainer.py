@@ -106,11 +106,17 @@ class TrainingHandler:
             crop_count=int(data_cfg.get("crop_count") or 1),
             augmentations=bool(data_cfg.get("augmentations")),
             metadata=data_cfg.get("metadata"),
+            sampler_attributes=data_cfg.get("sampler_attributes"),
             seed=self.seed)
 
         # online on-device degradations
         self.online_pipeline = None
         online_cfg = data_cfg.get("online_degradations")
+        if online_cfg and not isinstance(online_cfg, dict):
+            raise ValueError(
+                "[data.online_degradations] must be a table with a "
+                "'pipeline' list (got a bare boolean); see "
+                "examples/train_rcan_blind_x4.toml")
         if online_cfg:
             from rumpy_tpu.degradations.pipeline import ImagePipeline
             pipe = ImagePipeline(online_cfg["pipeline"],
@@ -243,6 +249,11 @@ class TrainingHandler:
         # (r1 weak #8). Fixed-crop val sets collapse into a single bucket.
         groups: Dict[tuple, list] = defaultdict(list)
         for batch in self.eval_data:
+            if "hr" not in batch:
+                raise ValueError(
+                    "eval set yields no HR images — validation metrics "
+                    "need ground truth (add hr_dir to the eval_sets "
+                    "table, or drop eval_sets to skip validation)")
             lrs = batch["lr"] if isinstance(batch["lr"], list) else [batch["lr"][i] for i in range(len(batch["lr"]))]
             hrs = batch["hr"] if isinstance(batch["hr"], list) else [batch["hr"][i] for i in range(len(batch["hr"]))]
             metas = batch.get("metadata")
@@ -265,7 +276,11 @@ class TrainingHandler:
                 lr = np.asarray(lr)
                 if lr.ndim == 4:
                     lr = lr[0]
-                groups[lr.shape].append((lr, np.asarray(hr), meta))
+                # bucket by LR shape AND metadata shape: mixing CSV-backed
+                # and metadata-less eval sets must not land in one stack
+                mshape = None if meta is None else tuple(np.shape(meta))
+                groups[(lr.shape, mshape)].append(
+                    (lr, np.asarray(hr), meta))
 
         from rumpy_tpu.utils.color import rgb_to_ycbcr
         first = True

@@ -240,3 +240,40 @@ def test_profile_steps_writes_trace(tmp_path, rng):
     samples = (tmp_path / "Results" / "prof_exp" / "result_outputs"
                / "samples")
     assert (samples / "epoch_0_sample.png").is_file()
+
+
+def test_training_ycbcr_model_eval(tmp_path, rng):
+    """Y-channel models (SRCNN/VDSR) through the full train+val loop:
+    eval datasets stay RGB and the interface owns the YCbCr conversion +
+    Cb/Cr reassembly — a Y-only eval dataset used to crash the val loop
+    with a second rgb_to_ycbcr on 1-channel input."""
+    import os
+    from PIL import Image
+    from rumpy_tpu.ops import resize
+    from rumpy_tpu.training.trainer import TrainingHandler
+
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    os.makedirs(hr_dir)
+    os.makedirs(lr_dir)
+    for i in range(2):
+        hr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f"i{i}.png")
+        Image.fromarray(np.asarray(resize.pil_resize(hr, (16, 16)))
+                        ).save(lr_dir / f"i{i}.png")
+    cfg = {
+        "experiment": "ycbcr_eval",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"scale": 2, "crop": 8, "dataloader_threads": 1,
+                 "training_sets": {"data_1": {"lr_dir": str(lr_dir),
+                                              "hr_dir": str(hr_dir)}},
+                 "eval_sets": {"data_1": {"lr_dir": str(lr_dir),
+                                          "hr_dir": str(hr_dir)}}},
+        "model": {"name": "srcnn", "internal_params": {"scale": 2}},
+        "training": {"num_epochs": 1, "batch_size": 2,
+                     "metrics": ["PSNR"]},
+    }
+    handler = TrainingHandler(cfg, use_mesh=False, verbose=False)
+    stats = handler.run_experiment()
+    row = stats[0]
+    assert np.isfinite(row["val-PSNR"]) and row["val-PSNR"] > 5
