@@ -142,6 +142,13 @@ def make_handler(server: ModelServer):
                     self._json({"status": "ok", "model": req["model"]})
                     return
                 img = server._decode_b64(req["image"])
+                if self.path.endswith("_and_crop"):
+                    # the reference crops the INPUT selection first and
+                    # super-resolves it (deep_fir_server.py:117-128) —
+                    # x/y/width/height are input-space coordinates
+                    x, y = int(req["x"]), int(req["y"])
+                    w, h = int(req["width"]), int(req["height"])
+                    img = img[y:y + h, x:x + w]
                 if self.path.startswith("/super_resolve_bicubic"):
                     out = server.bicubic(img)
                     runtime = 0.0
@@ -151,10 +158,6 @@ def make_handler(server: ModelServer):
                 else:
                     self._json({"error": "unknown route"}, 404)
                     return
-                if self.path.endswith("_and_crop"):
-                    x, y = int(req["x"]), int(req["y"])
-                    w, h = int(req["width"]), int(req["height"])
-                    out = out[y:y + h, x:x + w]
                 self._json({"output": server._encode_b64(out),
                             "runtime": runtime})
             except Exception as e:  # surface errors to the frontend

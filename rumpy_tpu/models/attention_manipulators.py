@@ -271,15 +271,19 @@ class QCALayer(nn.Module):
             y = nn.relu(y)
             y = nn.sigmoid(conv(self.channel)(y))
         elif style == "softmax":
+            # reference: same sigmoid-terminated stack as max_concat,
+            # with Softmax applied ON TOP (architectures.py:76-89)
             y = conv(red)(jnp.concatenate([y, attrs], -1))
             y = nn.relu(y)
-            y = conv(self.channel)(y)
+            y = nn.sigmoid(conv(self.channel)(y))
             y = nn.softmax(y, axis=-1)
         elif style == "mini_concat":
+            # reference: pre_concat conv, then ReLU over the CONCAT of
+            # (reduced features, metadata) — negative metadata entries
+            # are clipped before the final conv (architectures.py:83-88)
             y = conv(red)(y)
-            y = nn.relu(y)
-            y = nn.sigmoid(conv(self.channel)(
-                jnp.concatenate([y, attrs], -1)))
+            y = nn.relu(jnp.concatenate([y, attrs], -1))
+            y = nn.sigmoid(conv(self.channel)(y))
         elif style == "extended_attention":
             for out_ch in (self.channel // 2, self.channel // 4, red):
                 y = conv(out_ch)(jnp.concatenate([y, attrs], -1))

@@ -102,7 +102,10 @@ class RRDBNet(nn.Module):
                                     dtype=self.dtype)(trunk, metadata)
         trunk = conv(self.nf)(trunk)
         fea = fea + trunk
-        fea = lrelu(conv(self.nf)(_upsample_nearest(fea)))
+        # reference upconv stages: two x2 nearest upsamples; scale 8 runs
+        # the FIRST interpolation at x4 (generators.py:172-176)
+        fea = lrelu(conv(self.nf)(
+            _upsample_nearest(fea, 4 if self.scale == 8 else 2)))
         fea = lrelu(conv(self.nf)(_upsample_nearest(fea)))
         fea = lrelu(conv(self.nf)(fea))
         return conv(self.out_nc)(fea)
@@ -294,6 +297,11 @@ class BaseGANHandler(BaseHandler):
 
     def _adv_d_loss(self, pred_fake, pred_real):
         if self.gan_mode == "relativistic":
+            # the reference's discriminator_update detaches the ENTIRE
+            # fake prediction ("detachment of gradients required",
+            # handlers.py:152-155): D gradients flow only through
+            # pred_real (the fake term contributes via pred_real.mean)
+            pred_fake = jax.lax.stop_gradient(pred_fake)
             real_rel = pred_real - pred_fake.mean()
             fake_rel = pred_fake - pred_real.mean()
             return (0.5 * optax.sigmoid_binary_cross_entropy(
@@ -304,7 +312,9 @@ class BaseGANHandler(BaseHandler):
                 jnp.mean(pred_fake ** 2))
 
     def _gan_step_impl(self, state: TrainState, batch, vgg_params=None):
-        rng, sub = jax.random.split(state.rng)
+        rng, sub, dsub = jax.random.split(state.rng, 3)
+        if self.input_fn is not None:  # fused online degradation
+            batch = self.input_fn(dsub, batch)
         extra = state.extra
         d_vars = extra["d_vars"]
 
@@ -376,7 +386,9 @@ class BaseGANHandler(BaseHandler):
         return new_state, losses
 
     def _pretrain_step_impl(self, state: TrainState, batch):
-        rng, sub = jax.random.split(state.rng)
+        rng, sub, dsub = jax.random.split(state.rng, 3)
+        if self.input_fn is not None:  # fused online degradation
+            batch = self.input_fn(dsub, batch)
 
         def loss_fn(g_params):
             sr, _, _ = self.apply({"generator": g_params}, batch,
@@ -463,6 +475,11 @@ class QRealESRGANHandler(BaseGANHandler):
     def example_inputs(self, batch: int = 1, size: int = 16):
         return (jnp.zeros((batch, size, size, self.in_features), jnp.float32),
                 jnp.zeros((batch, self.num_metadata), jnp.float32))
+
+    def select_metadata(self, metadata, keys=None):
+        from rumpy_tpu.models.attention_manipulators import (
+            select_metadata_columns)
+        return select_metadata_columns(metadata, keys, self.metadata_keys)
 
     def apply(self, params, batch, train=False, rng=None, extra=None):
         gp = params["generator"] if "generator" in params else params

@@ -345,3 +345,8 @@ class MetabedESRGANHandler(BaseGANHandler):
     def handler_metadata(self):
         return {"metadata_keys_used_in_training": self.metadata_keys,
                 "num_metadata": self.num_metadata}
+
+    def select_metadata(self, metadata, keys=None):
+        from rumpy_tpu.models.attention_manipulators import (
+            select_metadata_columns)
+        return select_metadata_columns(metadata, keys, self.metadata_keys)

@@ -59,8 +59,13 @@ class BatchedPredictor:
                 ) -> List[np.ndarray]:
         """SR a list of HWC float images (various sizes). Returns a list
         of HWC outputs at `scale`x the input size."""
+        # sort by BUCKETED shape so same-bucket requests are consecutive
+        # (raw-shape order can interleave buckets and split micro-batches)
         order = sorted(range(len(images)),
-                       key=lambda i: images[i].shape[:2])
+                       key=lambda i: (_bucket(images[i].shape[0],
+                                              self.pad_multiple),
+                                      _bucket(images[i].shape[1],
+                                              self.pad_multiple)))
         results: List[Optional[np.ndarray]] = [None] * len(images)
         i = 0
         while i < len(order):

@@ -23,7 +23,7 @@ def supcon_loss(features: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
         of the same example).
     """
     n, v, d = features.shape
-    # anchor order: view-major, i.e. torch.cat(torch.unbind(f, 1), 0)
+    # contrast order: view-major, i.e. torch.cat(torch.unbind(f, 1), 0)
     flat = jnp.concatenate(jnp.split(features, v, axis=1),
                            axis=0).reshape(n * v, d)
 
@@ -33,15 +33,25 @@ def supcon_loss(features: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
         labels = labels.reshape(-1, 1)
         mask = (labels == labels.T).astype(jnp.float32)
 
-    anchor_count = contrast_count = v
+    # contrast_mode 'one' anchors only on the first view
+    # (loss_functions.py:91-99); 'all' anchors on every view
+    if contrast_mode == "one":
+        anchor = flat[:n]
+        anchor_count = 1
+    elif contrast_mode == "all":
+        anchor = flat
+        anchor_count = v
+    else:
+        raise ValueError(f"Unknown contrast_mode {contrast_mode!r}")
+    contrast_count = v
     mask = jnp.tile(mask, (anchor_count, contrast_count))
 
-    logits = jnp.matmul(flat, flat.T,
+    logits = jnp.matmul(anchor, flat.T,
                         precision=jax.lax.Precision.HIGHEST) / temperature
     logits = logits - jax.lax.stop_gradient(logits.max(axis=1,
                                                        keepdims=True))
     # mask out self-contrast
-    logits_mask = 1.0 - jnp.eye(n * v)
+    logits_mask = 1.0 - jnp.eye(n * v)[:n * anchor_count]
     mask = mask * logits_mask
 
     exp_logits = jnp.exp(logits) * logits_mask

@@ -19,9 +19,12 @@ import numpy as np
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
-ALEX_CFG: Tuple[Tuple[int, int, int], ...] = (
-    # (features, kernel, stride)
-    (64, 11, 4), (192, 5, 1), (384, 3, 1), (256, 3, 1), (256, 3, 1))
+ALEX_CFG: Tuple[Tuple[int, int, int, int], ...] = (
+    # (features, kernel, stride, padding) — torchvision AlexNet exactly
+    # (conv1 padding=2; flax SAME would pad/align differently at k=11 s=4
+    # and shift every downstream tap)
+    (64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1), (256, 3, 1, 1),
+    (256, 3, 1, 1))
 
 
 class AlexFeatures(nn.Module):
@@ -30,8 +33,9 @@ class AlexFeatures(nn.Module):
     @nn.compact
     def __call__(self, x):
         taps = []
-        for i, (f, k, s) in enumerate(ALEX_CFG):
-            x = nn.Conv(f, (k, k), strides=(s, s), dtype=self.dtype,
+        for i, (f, k, s, p) in enumerate(ALEX_CFG):
+            x = nn.Conv(f, (k, k), strides=(s, s),
+                        padding=((p, p), (p, p)), dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
             x = nn.relu(x)
             taps.append(x)

@@ -811,3 +811,67 @@ def test_dasr_da_conv_forward_parity(ref_arch, rng):
         ref = net([torch.from_numpy(x), torch.from_numpy(emb)]).numpy()
     got = np.asarray(mod.apply({"params": params}, xh, jnp.asarray(emb)))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=2e-5)
+
+
+def test_qcalayer_all_styles_parity(ref_arch, rng):
+    """All 6 QCALayer fusion styles vs the reference module
+    (architectures.py:41-150) — including the softmax style's
+    sigmoid-then-softmax stack and mini_concat's ReLU over the
+    features+metadata concat."""
+    arch_mod, _, torch = ref_arch
+    import importlib.util
+    # alias the fixture-loaded advanced architectures under the rumpy.*
+    # name the attention module imports, and load its layer deps
+    sys.modules.setdefault("rumpy.SISR.models.advanced.architectures",
+                           arch_mod)
+
+    def _loadq(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    import types as _t
+    for pkg in ("rumpy.SISR.models.SFTMD_variants",
+                "rumpy.SISR.models.non_blind_gan_models"):
+        sys.modules.setdefault(pkg, _t.ModuleType(pkg))
+    for leaf in ("da_layer", "dgfmb_layer", "qsan_blocks"):
+        _loadq(f"rumpy.SISR.models.attention_manipulators.{leaf}",
+               f"{REF}/attention_manipulators/{leaf}.py")
+    _loadq("rumpy.SISR.models.SFTMD_variants.architectures",
+           f"{REF}/SFTMD_variants/architectures.py")
+    _loadq("rumpy.SISR.models.non_blind_gan_models.generators",
+           f"{REF}/non_blind_gan_models/generators.py")
+    qarch = _loadq("ref_q_arch",
+                   f"{REF}/attention_manipulators/architectures.py")
+
+    import jax
+    import jax.numpy as jnp
+    from rumpy_tpu.models.attention_manipulators import QCALayer
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    x = rng.random((2, 32, 5, 5)).astype(np.float32)
+    xh = jnp.asarray(x.transpose(0, 2, 3, 1))
+    for style in ("standard", "modulate", "max_concat", "mini_concat",
+                  "softmax", "extended_attention"):
+        # modulate multiplies the attention vector elementwise with the
+        # (scale_qpi-expanded) channel-width metadata; other styles take
+        # the raw metadata vector (incl. negative entries)
+        m = 32 if style == "modulate" else 3
+        attrs = (rng.random((2, m)).astype(np.float32) - 0.5)
+        ah = jnp.asarray(attrs)
+        torch.manual_seed(0)
+        net = qarch.QCALayer(channel=32, num_metadata=m, reduction=16,
+                             style=style)
+        net.eval()
+        mod = QCALayer(channel=32, num_metadata=m, reduction=16,
+                       style=style)
+        variables = mod.init(jax.random.PRNGKey(0), xh, ah)
+        params = convert_by_order(net.state_dict(), variables["params"])
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x),
+                      torch.from_numpy(attrs)[:, :, None, None]).numpy()
+        got = np.asarray(mod.apply({"params": params}, xh, ah))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
+                                   atol=1e-5, err_msg=style)
