@@ -116,14 +116,16 @@ def test_gui_server_routes(tmp_path, rng):
         sr = server._decode_b64(out["output"])
         assert sr.shape == (16, 16, 3)
 
-        # bicubic route + crop route
+        # bicubic route + crop route: x/y/width/height select an
+        # INPUT-space region which is then upscaled (the reference crops
+        # before super-resolving, deep_fir_server.py:117-128)
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/super_resolve_bicubic_and_crop",
             data=json.dumps({"image": img_b64, "x": 0, "y": 0,
                              "width": 8, "height": 8}).encode())
         with urllib.request.urlopen(req) as r:
             out = json.load(r)
-        assert server._decode_b64(out["output"]).shape == (8, 8, 3)
+        assert server._decode_b64(out["output"]).shape == (16, 16, 3)
     finally:
         httpd.shutdown()
 
