@@ -80,6 +80,9 @@ class ContrastiveEval:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        if method not in ("tsne", "umap"):
+            raise ValueError(f"Unknown scatter method {method!r} "
+                             "(expected 'tsne' or 'umap')")
         if method == "umap":
             try:
                 import umap

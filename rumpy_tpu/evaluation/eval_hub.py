@@ -180,8 +180,8 @@ class EvalHub:
         rows: Dict[str, Dict[str, float]] = defaultdict(dict)
         self._timed_shapes: set = set()
         for batch in self.loader:
-            lr = batch["lr"][0] if isinstance(batch["lr"], list) else batch["lr"][0]
-            hr = batch["hr"][0] if isinstance(batch["hr"], list) else batch["hr"][0]
+            lr = batch["lr"][0]
+            hr = batch["hr"][0]
             tag = batch["tag"][0]
             meta = None
             metas = batch.get("metadata")
@@ -226,8 +226,6 @@ class EvalHub:
 
             stem = os.path.splitext(tag)[0]
             for name, img in outputs.items():
-                if name.endswith(">runtime"):
-                    continue
                 sr_y = self._y_channel(img)
                 res = self.metric_hub.run_metrics(sr_y[None], hr_y[None],
                                                   max_value=1.0,

@@ -127,27 +127,32 @@ class EDSRHandler(BaseHandler):
                     res_scale=res_scale, dtype=self.dtype)
 
 
-@register_model("edsrmd")
-class EDSRMDHandler(BaseHandler):
-    """SRMD-style EDSR: degradation-metadata vector tiled to per-pixel
-    maps and channel-concatenated with the LR input (reference
-    advanced/handlers.py:137-164 `EDSRMDHandler`)."""
-    loss_type = "l1"
-    colorspace = "rgb"
-    im_input = "unmodified"
+class _MetadataMapMixin:
+    """Shared SRMD-style metadata handling (reference EDSRMD/SRMD are
+    QModels, advanced/handlers.py:137-196): key-driven metadata sizing,
+    CSV-column selection, and vector->per-pixel-map tiling concatenated
+    with the LR input."""
     uses_metadata = True
 
-    def __init__(self, num_metadata=15, num_features=64, num_blocks=16,
-                 res_scale=0.1, **kwargs):
-        self.num_metadata = num_metadata
-        super().__init__(num_features=num_features, num_blocks=num_blocks,
-                         res_scale=res_scale, **kwargs)
+    def _init_metadata(self, metadata, metadata_bypass_len, num_metadata):
+        from rumpy_tpu.models.attention_manipulators import (
+            compute_num_metadata)
+        if metadata is not None:
+            self.metadata_keys = list(metadata)
+            self.num_metadata = compute_num_metadata(self.metadata_keys,
+                                                     metadata_bypass_len)
+        else:
+            self.metadata_keys = None
+            self.num_metadata = metadata_bypass_len or num_metadata
 
-    def build_module(self, num_features, num_blocks, res_scale):
-        return EDSR(scale=self.scale,
-                    in_features=self.in_features + self.num_metadata,
-                    net_features=num_features, num_blocks=num_blocks,
-                    res_scale=res_scale, dtype=self.dtype)
+    def select_metadata(self, metadata, keys=None):
+        from rumpy_tpu.models.attention_manipulators import (
+            select_metadata_columns)
+        return select_metadata_columns(metadata, keys, self.metadata_keys)
+
+    def handler_metadata(self):
+        return {"metadata_keys_used_in_training": self.metadata_keys,
+                "num_metadata": self.num_metadata}
 
     def example_inputs(self, batch: int = 1, size: int = 16):
         return (jnp.zeros((batch, size, size,
@@ -156,13 +161,39 @@ class EDSRMDHandler(BaseHandler):
 
     def apply(self, params, batch, train=False, rng=None, extra=None):
         lr = batch["lr"]
-        meta = batch["metadata"]
+        meta = batch.get("metadata")
+        if meta is None:
+            raise RuntimeError("Metadata needs to be specified for this "
+                               "network to run properly.")
         n, h, w, _ = lr.shape
         maps = jnp.broadcast_to(meta[:, None, None, :],
                                 (n, h, w, meta.shape[-1]))
         x = jnp.concatenate([lr, maps.astype(lr.dtype)], axis=-1)
         sr = self.module.apply({"params": params}, x)
         return sr, {}, extra
+
+
+@register_model("edsrmd")
+class EDSRMDHandler(_MetadataMapMixin, BaseHandler):
+    """SRMD-style EDSR: degradation-metadata vector tiled to per-pixel
+    maps and channel-concatenated with the LR input (reference
+    advanced/handlers.py:137-164 `EDSRMDHandler`)."""
+    loss_type = "l1"
+    colorspace = "rgb"
+    im_input = "unmodified"
+
+    def __init__(self, metadata=None, metadata_bypass_len=None,
+                 num_metadata=15, num_features=64, num_blocks=16,
+                 res_scale=0.1, **kwargs):
+        self._init_metadata(metadata, metadata_bypass_len, num_metadata)
+        super().__init__(num_features=num_features, num_blocks=num_blocks,
+                         res_scale=res_scale, **kwargs)
+
+    def build_module(self, num_features, num_blocks, res_scale):
+        return EDSR(scale=self.scale,
+                    in_features=self.in_features + self.num_metadata,
+                    net_features=num_features, num_blocks=num_blocks,
+                    res_scale=res_scale, dtype=self.dtype)
 
 
 @register_model("rcan")
@@ -186,31 +217,18 @@ class RCANHandler(BaseHandler):
 
 
 @register_model("srmd")
-class SRMDHandler(BaseHandler):
+class SRMDHandler(_MetadataMapMixin, BaseHandler):
     """SRMD consumes LR + per-pixel degradation maps; the data pipeline
     supplies `metadata` as a (N, M) vector tiled to (N, h, w, M) here."""
     loss_type = "l1"
     colorspace = "rgb"
     im_input = "unmodified"
-    uses_metadata = True
 
-    def __init__(self, num_metadata=15, nc=128, nb=12, **kwargs):
-        self.num_metadata = num_metadata
+    def __init__(self, metadata=None, metadata_bypass_len=None,
+                 num_metadata=15, nc=128, nb=12, **kwargs):
+        self._init_metadata(metadata, metadata_bypass_len, num_metadata)
         super().__init__(nc=nc, nb=nb, **kwargs)
 
     def build_module(self, nc, nb):
         return SRMD(scale=self.scale, in_nc=self.in_features + self.num_metadata,
                     nc=nc, nb=nb, dtype=self.dtype)
-
-    def example_inputs(self, batch: int = 1, size: int = 16):
-        return (jnp.zeros((batch, size, size,
-                           self.in_features + self.num_metadata), jnp.float32),)
-
-    def apply(self, params, batch, train=False, rng=None, extra=None):
-        lr = batch["lr"]
-        meta = batch["metadata"]
-        n, h, w, _ = lr.shape
-        maps = jnp.broadcast_to(meta[:, None, None, :], (n, h, w, meta.shape[-1]))
-        x = jnp.concatenate([lr, maps.astype(lr.dtype)], axis=-1)
-        sr = self.module.apply({"params": params}, x)
-        return sr, {}, extra

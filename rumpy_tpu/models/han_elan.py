@@ -317,7 +317,7 @@ class ELAN(nn.Module):
                        shared_depth=self.n_share,
                        dtype=self.dtype)(res, train=train)
             if (self.num_metadata > 0 and metadata is not None
-                    and i % self.meta_every == 1):
+                    and (i + 1) % self.meta_every == 0):
                 res = ParaCALayer(self.c_elan, self.num_metadata,
                                   nonlinearity=True,
                                   dtype=self.dtype)(res, metadata)
@@ -384,14 +384,16 @@ class ELANHandler(BaseHandler):
 
     def init_state(self, seed=None):
         import jax
-        state = super().init_state(seed)
+        from rumpy_tpu.models.base import TrainState
         rng = jax.random.PRNGKey(self.seed if seed is None else seed)
-        variables = self.module.init(rng, *self.example_inputs())
-        extra = dict(state.extra)
+        prng, erng, srng = jax.random.split(rng, 3)
+        variables = self.module.init(prng, *self.example_inputs())
+        params = variables["params"]
+        extra = dict(self.init_extra(erng) or {})
         extra["vars"] = {"batch_stats": variables.get("batch_stats", {})}
-        return state.replace(params=variables["params"],
-                             opt_state=self.tx.init(variables["params"]),
-                             extra=extra)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.tx.init(params), extra=extra,
+                          rng=srng)
 
 
 @register_model("qhan")
@@ -448,11 +450,13 @@ class QELANHandler(QModelHandler):
 
     def init_state(self, seed=None):
         import jax
-        state = super().init_state(seed)
+        from rumpy_tpu.models.base import TrainState
         rng = jax.random.PRNGKey(self.seed if seed is None else seed)
-        variables = self.module.init(rng, *self.example_inputs())
-        extra = dict(state.extra)
+        prng, erng, srng = jax.random.split(rng, 3)
+        variables = self.module.init(prng, *self.example_inputs())
+        params = variables["params"]
+        extra = dict(self.init_extra(erng) or {})
         extra["vars"] = {"batch_stats": variables.get("batch_stats", {})}
-        return state.replace(params=variables["params"],
-                             opt_state=self.tx.init(variables["params"]),
-                             extra=extra)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=self.tx.init(params), extra=extra,
+                          rng=srng)

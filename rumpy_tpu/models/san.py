@@ -204,22 +204,39 @@ class SANHandler(BaseHandler):
         return SAN(scale=self.scale, dtype=self.dtype, **kw)
 
     def run_eval(self, state, batch):
-        lr = batch["lr"]
-        if lr.shape[1] * lr.shape[2] > self.max_combined_im_size:
-            return forward_chop(
-                lambda t: self._eval_step((state.params, state.extra),
-                                          {"lr": t}),
-                jnp.asarray(lr), self.scale,
-                max_size=self.max_combined_im_size)
-        return super().run_eval(state, batch)
+        # the reference's run_eval ALWAYS tiles: forward_chop performs
+        # an unconditional top-level 4-way split (handlers.py:126-134) —
+        # SOCA/non-local are global ops, so tiled vs whole-image outputs
+        # differ and parity requires the same tiling
+        return forward_chop(
+            lambda t: self._eval_step((state.params, state.extra),
+                                      {"lr": t}),
+            jnp.asarray(batch["lr"]), self.scale,
+            max_size=self.max_combined_im_size, force_split=True)
 
 
 @register_model("qsan")
 class QSANHandler(QModelHandler):
-    def __init__(self, n_feats=64, n_resgroups=20, n_resblocks=10, **kwargs):
+    def __init__(self, n_feats=64, n_resgroups=20, n_resblocks=10,
+                 max_combined_im_size=160000, **kwargs):
+        self.max_combined_im_size = max_combined_im_size
         super().__init__(n_feats=n_feats, n_resgroups=n_resgroups,
                          n_resblocks=n_resblocks, **kwargs)
 
     def build_module(self, **kw):
         return SAN(scale=self.scale, num_metadata=self.num_metadata,
                    dtype=self.dtype, **kw)
+
+    def run_eval(self, state, batch):
+        # same memory-bounded always-tiled eval as SAN (the reference
+        # QSANHandler carries its own forward_chop + max_combined_im_size,
+        # attention_manipulators/handlers.py:105-170), with the metadata
+        # vector threaded into every tile forward
+        meta = batch.get("metadata")
+        return forward_chop(
+            lambda t: self._eval_step(
+                (state.params, state.extra),
+                {"lr": t, **({"metadata": meta} if meta is not None
+                             else {})}),
+            jnp.asarray(batch["lr"]), self.scale,
+            max_size=self.max_combined_im_size, force_split=True)

@@ -45,8 +45,13 @@ def _load() -> ctypes.CDLL:
         if not os.path.isfile(_SRC):
             raise NativeUnavailable(f"missing {_SRC}")
         try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+            # compile to a process-unique temp path and rename atomically:
+            # concurrent first-use (DataLoader workers, parallel tests)
+            # must never CDLL a half-written .so
+            tmp = f"{_SO}.{os.getpid()}.tmp"
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
                             _SRC], check=True, capture_output=True)
+            os.replace(tmp, _SO)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             raise NativeUnavailable(f"native build failed: {e}")
     lib = ctypes.CDLL(_SO)

@@ -15,13 +15,24 @@ import jax.numpy as jnp
 
 
 def forward_chop(forward: Callable, x: jnp.ndarray, scale: int,
-                 shave: int = 10, max_size: int = 160000) -> jnp.ndarray:
+                 shave: int = 10, max_size: int = 160000,
+                 force_split: bool = False) -> jnp.ndarray:
+    """force_split performs the reference SAN handler's UNCONDITIONAL
+    top-level 4-way split (handlers.py:85-134 always tiles in run_eval,
+    whatever the image size); recursion below the top level is size-gated
+    as usual."""
     n, h, w, c = x.shape
     # stop when small enough OR when shaving can no longer shrink tiles
-    if h * w <= max_size or h <= 2 * shave + 2 or w <= 2 * shave + 2:
+    if not force_split and (h * w <= max_size or h <= 2 * shave + 2
+                            or w <= 2 * shave + 2):
         return forward(x)
+    if force_split and (h // 2 == 0 or w // 2 == 0):
+        return forward(x)  # degenerate: nothing to split
     h_half, w_half = h // 2, w // 2
-    h_size, w_size = h_half + shave, w_half + shave
+    # clamp to the image: for small force_split inputs the shaved tile
+    # would exceed the image and break the stitch arithmetic (the
+    # reference never clamps because it only ever chops large images)
+    h_size, w_size = min(h_half + shave, h), min(w_half + shave, w)
     tiles = [
         x[:, :h_size, :w_size],
         x[:, :h_size, (w - w_size):],
