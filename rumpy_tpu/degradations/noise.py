@@ -54,15 +54,31 @@ class RealESRGANNoise(DegradationOp):
                 k_apply, imgs, self.poisson_noise_scale_range,
                 self.gray_noise_probability)
         else:
-            gs = self.specific.get("gaussian_noise_scale")
-            ps = self.specific.get("poisson_noise_scale")
-            use_gauss = jnp.full((b,), gs is not None)
-            gray_p = self.specific.get(
-                "gray_noise", self.gray_noise_probability)
+            # reference non-random selection (noise/__init__.py:129-152):
+            # value-based — the type whose scale is > 0; when BOTH are
+            # positive the type is drawn from gaussian_poisson_ratio
+            gs = float(self.specific.get("gaussian_noise_scale") or 0.0)
+            ps = float(self.specific.get("poisson_noise_scale") or 0.0)
+            if gs > 0 and ps > 0:
+                use_gauss = (jax.random.uniform(k_type, (b,))
+                             < self.gaussian_poisson_ratio)
+            else:
+                use_gauss = jnp.full((b,), gs > 0)
+            gray = self.specific.get("gray_noise")
+            if gray is None:
+                # reference quirk kept: gray_noise = 0.0 when
+                # rand < gray_noise_probability, i.e. gray applied with
+                # probability 1 - p (inverted vs the random path)
+                gray_p = 1.0 - self.gray_noise_probability
+            else:
+                if float(gray) not in (0.0, 1.0):
+                    raise RuntimeError(
+                        "gray noise must be 1 or 0, not in between.")
+                gray_p = float(gray)
             g_out, g_meta = noise_ops.add_gaussian_noise(
-                k_apply, imgs, (gs or 0.0, gs or 0.0), float(gray_p))
+                k_apply, imgs, (gs, gs), gray_p)
             p_out, p_meta = noise_ops.add_poisson_noise(
-                k_apply, imgs, (ps or 0.0, ps or 0.0), float(gray_p))
+                k_apply, imgs, (ps, ps), gray_p)
         sel = use_gauss[:, None, None, None]
         out = jnp.where(sel, g_out, p_out)
         meta = {

@@ -58,6 +58,7 @@ class Downsample(DegradationOp):
         self.scale_range = tuple(scale_range)
         self.normalize_metadata = normalize_metadata
         self.restrict_metadata = restrict_metadata
+        self._rng = np.random.default_rng(seed)
 
     def get_hyperparams(self) -> Dict[str, Any]:
         return {"min_scale": self.scale_range[0],
@@ -68,7 +69,7 @@ class Downsample(DegradationOp):
                 if self.normalize_metadata else s)
 
     def __call__(self, image):
-        scale = (int(np.random.randint(self.scale_range[0],
+        scale = (int(self._rng.integers(self.scale_range[0],
                                        self.scale_range[1] + 1))
                  if self.random_scale else self.scale)
         _, lr = downsample_pair(image, scale, jm=self.jm)
@@ -96,6 +97,7 @@ class Upsample(DegradationOp):
         self.random_scale = random_scale
         self.scale_range = tuple(scale_range)
         self.normalize_metadata = normalize_metadata
+        self._rng = np.random.default_rng(seed)
 
     def get_hyperparams(self) -> Dict[str, Any]:
         return {"min_scale": self.scale_range[0],
@@ -106,7 +108,7 @@ class Upsample(DegradationOp):
                 if self.normalize_metadata else s)
 
     def __call__(self, image):
-        scale = (int(np.random.randint(self.scale_range[0],
+        scale = (int(self._rng.integers(self.scale_range[0],
                                        self.scale_range[1] + 1))
                  if self.random_scale else self.scale)
         arr, was_pil = to_float_array(image)

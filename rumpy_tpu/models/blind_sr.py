@@ -400,13 +400,18 @@ class ContrastiveBlindSRHandler(BaseHandler):
         params = optax.apply_updates(state.params, updates)
 
         n = enq.shape[0]
+        if self.K % n != 0:
+            raise ValueError(
+                f"queue size K={self.K} must be a multiple of the global "
+                f"enqueue batch {n} (moco.py _dequeue_and_enqueue assert)")
         ptr = extra["queue_ptr"]
         new_extra = dict(extra)
         new_extra.update({
             "key_params": key_params,
             "bstats": new_bstats,
             "queue": jax.lax.dynamic_update_slice(
-                extra["queue"], jax.lax.stop_gradient(enq),
+                extra["queue"],
+                jax.lax.stop_gradient(enq).astype(extra["queue"].dtype),
                 (ptr, jnp.int32(0))),
             "queue_ptr": (ptr + n) % self.K,
         })

@@ -94,6 +94,13 @@ class MoCoHandler(BaseHandler):
         self.proj_dim = dropdown if self.contrastive_dropdown else dim
         super().__init__(**kwargs)
 
+    def set_input_pipeline(self, fn) -> None:
+        raise NotImplementedError(
+            "contrastive handlers take query/key VIEW batches, not raw "
+            "hr batches — online on-device view degradation is driven by "
+            "the regression trainer (training/regression_trainer.py), "
+            "not by the fused input_fn hook")
+
     def build_module(self, **kw):
         return DASREncoder(dropdown_q=self.dropdown, out_dim=self.dim,
                            dtype=self.dtype)
@@ -207,10 +214,17 @@ class MoCoHandler(BaseHandler):
                                             state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # dequeue/enqueue at ptr (K % global_batch == 0 assumed, as in the
-        # reference)
-        enq = jax.lax.stop_gradient(side["enqueue"])
+        # dequeue/enqueue at ptr — K must divide evenly by the global
+        # batch (the reference's _dequeue_and_enqueue asserts this;
+        # dynamic_update_slice would otherwise CLAMP the start index and
+        # silently desynchronize the pointer from the writes)
+        enq = jax.lax.stop_gradient(side["enqueue"]).astype(
+            extra["queue"].dtype)
         n = enq.shape[0]
+        if self.K % n != 0:
+            raise ValueError(
+                f"queue size K={self.K} must be a multiple of the global "
+                f"enqueue batch {n} (moco.py _dequeue_and_enqueue assert)")
         ptr = extra["queue_ptr"]
         queue = jax.lax.dynamic_update_slice(extra["queue"], enq,
                                              (ptr, jnp.int32(0)))

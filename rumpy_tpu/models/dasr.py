@@ -270,7 +270,12 @@ class DASRHandler(BaseHandler):
         ptr = extra["queue_ptr"]
         n = k.shape[0] // max(1, batch["image_key"].shape[0]
                               // batch["image_query"].shape[0])
-        enq = k[:batch["image_query"].shape[0]]
+        enq = k[:batch["image_query"].shape[0]].astype(
+            extra["queue"].dtype)
+        if self.K % enq.shape[0] != 0:
+            raise ValueError(
+                f"queue size K={self.K} must be a multiple of the global "
+                f"enqueue batch {enq.shape[0]}")
         new_extra = dict(extra)
         new_extra.update({
             "key_params": key_params, "bstats": new_bstats,

@@ -141,7 +141,12 @@ class TrainingHandler:
                     new_batch["metadata"] = mat
                 return new_batch
 
-            handler.set_input_pipeline(input_fn)
+            try:
+                handler.set_input_pipeline(input_fn)
+            except NotImplementedError:
+                # contrastive handlers refuse the hook: the regression
+                # trainer degrades query/key views itself on device
+                pass
 
         self.metric_hub = Metrics(self.metrics_list)
         self.stats: Dict[int, Dict[str, float]] = {}

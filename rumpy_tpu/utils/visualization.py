@@ -25,7 +25,11 @@ def to_uint8_rgb(img: np.ndarray, colorspace: str = "rgb") -> np.ndarray:
         img = np.asarray(ycbcr_to_rgb(img, im_type="jpg"))
     if img.shape[-1] == 1:
         img = np.repeat(img, 3, axis=-1)
-    return (np.clip(img, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    # TRUNCATION, not rounding: the reference's safe_image_save does
+    # np.clip(im * 255).astype(uint8) (visualization.py:31-62), and the
+    # degradation layer's from_float_array documents the same ToPILImage
+    # truncation — saved PNGs must bit-match
+    return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
 def safe_image_save(img: np.ndarray, out_dir: str, name: str,
@@ -81,7 +85,10 @@ def compare_training_curves(experiment_dirs: Dict[str, str], out_path: str,
 
     fig, ax = plt.subplots(figsize=(8, 5))
     for label, log_dir in experiment_dirs.items():
-        stats = load_statistics(log_dir)
+        try:
+            stats = load_statistics(log_dir)
+        except FileNotFoundError:
+            continue  # experiment without a summary.csv: skip its curve
         if stats is None or metric not in stats.columns:
             continue
         ax.plot(stats.index, stats[metric], label=label)
