@@ -25,6 +25,11 @@ class RealESRGANNoise(DegradationOp):
                  gaussian_noise_sigma_range=(0, 1.0),
                  gray_noise_probability=0.4,
                  random_noise_generation=True, seed=0,
+                 request_noise_image_pca=False,
+                 noise_image_pca_length=100,
+                 pca_patch_size=64,
+                 pca_batch_len=500,
+                 load_pca_matrix=None,
                  **specific_noise_params):
         self.normalize_metadata = normalize_metadata
         self.gaussian_poisson_ratio = gaussian_poisson_ratio
@@ -34,6 +39,34 @@ class RealESRGANNoise(DegradationOp):
         self.random_noise = random_noise_generation
         self.specific = specific_noise_params
         self._key = jax.random.PRNGKey(seed)
+        # Noise-image PCA option (reference noise/__init__.py:23-28,
+        # :74-101, :191-195 — marked "not fully tested" there; its
+        # __call__ even references a deleted tensor). Here the encoding
+        # is functional: the pre-clip scaled noise field is center-
+        # cropped to pca_patch_size and projected onto a basis fit from
+        # pca_batch_len generated noise fields (half Gaussian, half
+        # Poisson-on-blank — faithfully zero, as in the reference).
+        self.request_noise_image_pca = request_noise_image_pca
+        self.pca_patch_size = pca_patch_size
+        self.pca_encoder = None
+        if request_noise_image_pca:
+            from rumpy_tpu.degradations import pca as pca_mod
+            if load_pca_matrix:
+                self.pca_encoder = pca_mod.read_pca_matrix(load_pca_matrix)
+            else:
+                self._key, kg, kp = jax.random.split(self._key, 3)
+                blank = jnp.zeros((pca_batch_len // 2, pca_patch_size,
+                                   pca_patch_size, 3), jnp.float32)
+                _, _, n_gauss = noise_ops.add_gaussian_noise(
+                    kg, blank, self.gaussian_noise_sigma_range,
+                    self.gray_noise_probability, return_noise=True)
+                _, _, n_poiss = noise_ops.add_poisson_noise(
+                    kp, blank, self.poisson_noise_scale_range,
+                    self.gray_noise_probability, return_noise=True)
+                samples = jnp.concatenate([n_gauss, n_poiss]).reshape(
+                    (pca_batch_len, -1))
+                self.pca_encoder = pca_mod.PCAEncoder(
+                    pca_mod.fit_pca(samples, k=noise_image_pca_length))
 
     def get_hyperparams(self) -> Dict[str, Any]:
         return {"gaussian_poisson_ratio": self.gaussian_poisson_ratio,
@@ -42,17 +75,21 @@ class RealESRGANNoise(DegradationOp):
                 "gray_noise_probability": self.gray_noise_probability}
 
     def batch_apply(self, key, imgs):
+        out, meta, _ = self._batch_apply_noise(key, imgs)
+        return out, meta
+
+    def _batch_apply_noise(self, key, imgs):
         b = imgs.shape[0]
         k_type, k_apply = jax.random.split(key)
         if self.random_noise:
             use_gauss = (jax.random.uniform(k_type, (b,))
                          < self.gaussian_poisson_ratio)
-            g_out, g_meta = noise_ops.add_gaussian_noise(
+            g_out, g_meta, g_noise = noise_ops.add_gaussian_noise(
                 k_apply, imgs, self.gaussian_noise_sigma_range,
-                self.gray_noise_probability)
-            p_out, p_meta = noise_ops.add_poisson_noise(
+                self.gray_noise_probability, return_noise=True)
+            p_out, p_meta, p_noise = noise_ops.add_poisson_noise(
                 k_apply, imgs, self.poisson_noise_scale_range,
-                self.gray_noise_probability)
+                self.gray_noise_probability, return_noise=True)
         else:
             # reference non-random selection (noise/__init__.py:129-152):
             # value-based — the type whose scale is > 0; when BOTH are
@@ -75,12 +112,13 @@ class RealESRGANNoise(DegradationOp):
                     raise RuntimeError(
                         "gray noise must be 1 or 0, not in between.")
                 gray_p = float(gray)
-            g_out, g_meta = noise_ops.add_gaussian_noise(
-                k_apply, imgs, (gs, gs), gray_p)
-            p_out, p_meta = noise_ops.add_poisson_noise(
-                k_apply, imgs, (ps, ps), gray_p)
+            g_out, g_meta, g_noise = noise_ops.add_gaussian_noise(
+                k_apply, imgs, (gs, gs), gray_p, return_noise=True)
+            p_out, p_meta, p_noise = noise_ops.add_poisson_noise(
+                k_apply, imgs, (ps, ps), gray_p, return_noise=True)
         sel = use_gauss[:, None, None, None]
         out = jnp.where(sel, g_out, p_out)
+        noise = jnp.where(sel, g_noise, p_noise)
         meta = {
             "gaussian_noise_scale": jnp.where(
                 use_gauss, g_meta["gaussian_noise_scale"], 0.0),
@@ -100,12 +138,31 @@ class RealESRGANNoise(DegradationOp):
                 meta["poisson_noise_scale"] = jnp.where(
                     use_gauss, 0.0,
                     normalize(meta["poisson_noise_scale"], lo_p, hi_p))
-        return out, meta
+        return out, meta, noise
+
+    def _center_crop_noise(self, noise):
+        """CenterCrop(pca_patch_size) with zero padding for small images
+        (torchvision CenterCrop semantics used at noise/__init__.py:99)."""
+        h, w = noise.shape[1:3]
+        s = self.pca_patch_size
+        if h < s or w < s:
+            ph, pw = max(0, s - h), max(0, s - w)
+            noise = jnp.pad(noise, ((0, 0),
+                                    (ph // 2, ph - ph // 2),
+                                    (pw // 2, pw - pw // 2), (0, 0)))
+            h, w = noise.shape[1:3]
+        top, left = (h - s) // 2, (w - s) // 2
+        return noise[:, top:top + s, left:left + s, :]
 
     def __call__(self, image):
         arr, was_pil = to_float_array(image)
         self._key, sub = jax.random.split(self._key)
-        out, meta = self.batch_apply(sub, jnp.asarray(arr)[None])
+        out, meta, noise = self._batch_apply_noise(sub,
+                                                   jnp.asarray(arr)[None])
         import numpy as np
         host_meta = {k: float(np.asarray(v[0])) for k, v in meta.items()}
+        if self.pca_encoder is not None:
+            crop = self._center_crop_noise(noise)
+            enc = self.pca_encoder(crop.reshape((1, -1)))
+            host_meta["pca_noise"] = np.asarray(enc[0]).tolist()
         return from_float_array(np.asarray(out[0]), was_pil), host_meta

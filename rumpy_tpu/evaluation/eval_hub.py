@@ -113,7 +113,10 @@ class EvalHub:
             self._fr_feats: Dict[str, list] = defaultdict(list)
             metrics = [m for m in metrics if m != "FR_rank"]
 
-        self.metric_hub = Metrics(metrics, lpips_weights=lpips_weights)
+        # face-boundary PSNR metrics read face_boundaries_0.csv from the
+        # dataset's HR dir (reference metrics.py:78-88)
+        self.metric_hub = Metrics(metrics, lpips_weights=lpips_weights,
+                                  hr_data_loc=self.dataset.hr_dir)
 
     def _register_gallery(self, source: str) -> None:
         """Gallery = a features .npz (reference load_gallery format:
@@ -230,7 +233,8 @@ class EvalHub:
                 res = self.metric_hub.run_metrics(sr_y[None], hr_y[None],
                                                   max_value=1.0,
                                                   rgb_a=img[None],
-                                                  rgb_ref=hr[None])
+                                                  rgb_ref=hr[None],
+                                                  probe_names=[stem])
                 for metric, vals in res.items():
                     rows[tag][f"{name}>{metric}"] = vals[0]
                 if self.face_recognizer is not None:

@@ -33,8 +33,12 @@ def _luma(img):
 def add_gaussian_noise(key: jax.Array, img: jnp.ndarray,
                        sigma_range: Tuple[float, float] = (0.0, 10.0),
                        gray_prob: float = 0.0, clip: bool = True,
-                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """img: (B, H, W, C) in [0,1]. sigma in 0..255 units."""
+                       return_noise: bool = False):
+    """img: (B, H, W, C) in [0,1]. sigma in 0..255 units.
+
+    With ``return_noise`` also returns the scaled noise field (the third
+    return of the reference's random_add_gaussian_noise_pt,
+    real_esrgan_noise.py:140-149) for the noise-image PCA option."""
     b, h, w, c = img.shape
     k_sig, k_gray, k_noise = jax.random.split(key, 3)
     sigma = jax.random.uniform(k_sig, (b,), minval=sigma_range[0],
@@ -44,11 +48,15 @@ def add_gaussian_noise(key: jax.Array, img: jnp.ndarray,
     noise_gray = noise[..., :1]
     scale = (sigma / 255.0)[:, None, None, None]
     g = gray[:, None, None, None]
-    out = img + scale * (g * noise_gray + (1.0 - g) * noise)
+    scaled = scale * (g * noise_gray + (1.0 - g) * noise)
+    out = img + scaled
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
-    return out, {"gaussian_noise_scale": sigma, "gray_noise": gray,
-                 "poisson_noise_scale": jnp.zeros((b,))}
+    meta = {"gaussian_noise_scale": sigma, "gray_noise": gray,
+            "poisson_noise_scale": jnp.zeros((b,))}
+    if return_noise:
+        return out, meta, scaled
+    return out, meta
 
 
 def _poisson_vals(img: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +74,7 @@ def _poisson_vals(img: jnp.ndarray) -> jnp.ndarray:
 def add_poisson_noise(key: jax.Array, img: jnp.ndarray,
                       scale_range: Tuple[float, float] = (0.0, 1.0),
                       gray_prob: float = 0.0, clip: bool = True,
-                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                      return_noise: bool = False):
     b = img.shape[0]
     k_scale, k_gray, k_poisson = jax.random.split(key, 3)
     scale = jax.random.uniform(k_scale, (b,), minval=scale_range[0],
@@ -86,8 +94,12 @@ def add_poisson_noise(key: jax.Array, img: jnp.ndarray,
 
     g = gray[:, None, None, None]
     noise = g * noise_g + (1.0 - g) * noise_c
-    out = img + scale[:, None, None, None] * noise
+    scaled = scale[:, None, None, None] * noise
+    out = img + scaled
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
-    return out, {"poisson_noise_scale": scale, "gray_noise": gray,
-                 "gaussian_noise_scale": jnp.zeros((b,))}
+    meta = {"poisson_noise_scale": scale, "gray_noise": gray,
+            "gaussian_noise_scale": jnp.zeros((b,))}
+    if return_noise:
+        return out, meta, scaled
+    return out, meta

@@ -116,6 +116,74 @@ def ssim(x, y, data_range: float = 1.0):
 
 
 # ---------------------------------------------------------------------------
+# Face-boundary PSNR (reference metrics.py:78-88, :151-203)
+# ---------------------------------------------------------------------------
+
+def load_boundary_data(hr_data_loc: str) -> Dict[str, Dict[str, int]]:
+    """Load per-image face bounding boxes from `face_boundaries_0.csv` in
+    the HR data dir (reference Metrics.__init__, metrics.py:78-88):
+    index = image filename, columns include top/left/height/width; rows
+    with NaNs are dropped, then any entry containing a negative value."""
+    import os
+
+    import pandas as pd
+    df = pd.read_csv(os.path.join(hr_data_loc, "face_boundaries_0.csv"),
+                     header=0, index_col=0)
+    data = df.dropna().astype(int).to_dict("index")
+    return {k: v for k, v in data.items()
+            if not any(val < 0 for val in v.values())}
+
+
+def _boundary_mask(shape, box) -> np.ndarray:
+    """(H, W) 0/1 mask for a top/left/height/width box dict."""
+    mask = np.zeros(shape[:2], np.float32)
+    mask[box["top"]:box["top"] + box["height"],
+         box["left"]:box["left"] + box["width"]] = 1.0
+    return mask
+
+
+def face_psnr(im_a, im_ref, probe_names, boundary_data,
+              max_value: float = 1.0) -> List[float]:
+    """PSNR with everything outside the face box zeroed in BOTH images
+    but the full image area kept in the mean (run_face_PSNR semantics,
+    metrics.py:151-177). Inputs: (N, H, W, C) channel-last; scores
+    channel 0 (Y for YCbCr inputs) per image. Images without a boundary
+    entry are scored whole (crop_area[index] = 1 fallback)."""
+    a = np.asarray(im_a, np.float32)
+    r = np.asarray(im_ref, np.float32)
+    out = []
+    for i, name in enumerate(probe_names):
+        entry = boundary_data.get(str(name) + ".png")
+        if entry is not None:
+            mask = _boundary_mask(a.shape[1:3], entry)
+        else:
+            mask = np.ones(a.shape[1:3], np.float32)
+        out.append(float(psnr(a[i, :, :, 0] * mask, r[i, :, :, 0] * mask,
+                              max_value)))
+    return out
+
+
+def true_face_psnr(im_a, im_ref, probe_names, boundary_data,
+                   max_value: float = 1.0) -> List[float]:
+    """PSNR computed ONLY over the cropped face region
+    (run_true_face_PSNR, metrics.py:179-203)."""
+    a = np.asarray(im_a, np.float32)
+    r = np.asarray(im_ref, np.float32)
+    out = []
+    for i, name in enumerate(probe_names):
+        entry = boundary_data.get(str(name) + ".png")
+        if entry is not None:
+            t, l = entry["top"], entry["left"]
+            h, w = entry["height"], entry["width"]
+            fa = a[i, t:t + h, l:l + w, 0]
+            fr = r[i, t:t + h, l:l + w, 0]
+        else:
+            fa, fr = a[i, :, :, 0], r[i, :, :, 0]
+        out.append(float(psnr(fa, fr, max_value)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Metrics hub
 # ---------------------------------------------------------------------------
 
@@ -131,15 +199,23 @@ class Metrics:
     (reference gates LPIPS on an optional package the same way).
     """
 
-    SUPPORTED = ("PSNR", "SSIM")
+    SUPPORTED = ("PSNR", "SSIM", "face_PSNR", "true_face_PSNR")
 
     def __init__(self, metrics: Sequence[str] = ("PSNR", "SSIM"),
                  delimeter: str = "-", lpips_weights: str | None = None,
-                 face_recognizer=None):
+                 face_recognizer=None, hr_data_loc: str | None = None):
         self.metrics = list(metrics)
         self.delimeter = delimeter
         self.lpips = None
         self.face_recognizer = face_recognizer
+        self.boundary_data = None
+        if "face_PSNR" in self.metrics or "true_face_PSNR" in self.metrics:
+            # boundary boxes ship next to the HR data
+            # (reference metrics.py:78-88)
+            if hr_data_loc is None:
+                raise KeyError("face_PSNR/true_face_PSNR need hr_data_loc "
+                               "(directory containing face_boundaries_0.csv)")
+            self.boundary_data = load_boundary_data(hr_data_loc)
         for m in self.metrics:
             if m == "LPIPS":
                 from rumpy_tpu.utils.lpips_jax import LPIPS
@@ -179,6 +255,17 @@ class Metrics:
                 key = (f"{key_prefix}{self.delimeter}{m}"
                        if key_prefix else m)
                 out[key] = [float(r) for r in ranks]
+                continue
+            if m in ("face_PSNR", "true_face_PSNR"):
+                if probe_names is None:
+                    raise ValueError("Need probe names to extract face "
+                                     "boundaries")
+                fn = (face_psnr if m == "face_PSNR" else true_face_psnr)
+                vals = fn(im_a, im_ref, list(probe_names),
+                          self.boundary_data, max_value)
+                key = (f"{key_prefix}{self.delimeter}{m}"
+                       if key_prefix else m)
+                out[key] = vals
                 continue
             if m == "PSNR":
                 # vmap over the batch: one device round-trip, not N

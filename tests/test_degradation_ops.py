@@ -171,3 +171,21 @@ def test_h264_qpi_monotonic(rng):
         out = jpeg.h264_intra_compress(img, jnp.array([float(qp)]))
         errs.append(float(jnp.mean((out - img) ** 2)))
     assert errs[0] < errs[1] < errs[2]
+
+
+def test_noise_image_pca_metadata(rng):
+    """request_noise_image_pca (reference noise/__init__.py:23-28, :74-101,
+    :191-195): the scaled pre-clip noise field is center-cropped and
+    PCA-encoded into metadata['pca_noise']."""
+    from PIL import Image
+
+    from rumpy_tpu.degradations.noise import RealESRGANNoise
+    op = RealESRGANNoise(request_noise_image_pca=True, pca_batch_len=40,
+                         noise_image_pca_length=8, pca_patch_size=16, seed=3)
+    im = Image.fromarray((rng.random((24, 20, 3)) * 255).astype(np.uint8))
+    _, meta = op(im)
+    assert len(meta["pca_noise"]) == 8
+    assert np.all(np.isfinite(meta["pca_noise"]))
+    # default path emits no pca column
+    _, meta2 = RealESRGANNoise(seed=3)(im)
+    assert "pca_noise" not in meta2

@@ -79,3 +79,68 @@ def test_metrics_hub_batch(rng):
 def test_lpips_gated():
     with pytest.raises(NotImplementedError):
         metrics.Metrics(["LPIPS"])
+
+
+# ---------------------------------------------------------------------------
+# Face-boundary PSNR (reference metrics.py:78-88, :151-203)
+# ---------------------------------------------------------------------------
+
+def _boundary_fixture(tmp_path, rng):
+    import pandas as pd
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    pd.DataFrame(
+        {"top": [4, 2, -1], "left": [6, 3, 2], "height": [10, 8, 4],
+         "width": [12, 6, 4]},
+        index=["face_a.png", "face_b.png", "face_bad.png"],
+    ).to_csv(hr_dir / "face_boundaries_0.csv")
+    a = rng.random((2, 32, 32, 1)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    return str(hr_dir), a, b
+
+
+def test_boundary_csv_load_drops_negatives(tmp_path, rng):
+    hr_dir, _, _ = _boundary_fixture(tmp_path, rng)
+    data = metrics.load_boundary_data(hr_dir)
+    assert set(data) == {"face_a.png", "face_b.png"}
+    assert data["face_a.png"]["top"] == 4
+
+
+def test_true_face_psnr_equals_crop_psnr(tmp_path, rng):
+    hr_dir, a, b = _boundary_fixture(tmp_path, rng)
+    data = metrics.load_boundary_data(hr_dir)
+    vals = metrics.true_face_psnr(a, b, ["face_a", "unknown"], data, 1.0)
+    want0 = float(metrics.psnr(a[0, 4:14, 6:18, 0], b[0, 4:14, 6:18, 0], 1.0))
+    want1 = float(metrics.psnr(a[1, :, :, 0], b[1, :, :, 0], 1.0))
+    assert abs(vals[0] - want0) < 1e-5
+    assert abs(vals[1] - want1) < 1e-5
+
+
+def test_face_psnr_masks_outside_box(tmp_path, rng):
+    hr_dir, a, b = _boundary_fixture(tmp_path, rng)
+    data = metrics.load_boundary_data(hr_dir)
+    vals = metrics.face_psnr(a, b, ["face_a"], data, 1.0)
+    mask = np.zeros((32, 32), np.float32)
+    mask[4:14, 6:18] = 1.0
+    want = float(metrics.psnr(a[0, :, :, 0] * mask, b[0, :, :, 0] * mask, 1.0))
+    assert abs(vals[0] - want) < 1e-5
+    # the masked variant scores HIGHER than the crop: zeros agree exactly
+    crop = metrics.true_face_psnr(a, b, ["face_a"], data, 1.0)
+    assert vals[0] > crop[0]
+
+
+def test_metrics_hub_face_psnr(tmp_path, rng):
+    hr_dir, a, b = _boundary_fixture(tmp_path, rng)
+    hub = metrics.Metrics(["PSNR", "face_PSNR", "true_face_PSNR"],
+                          hr_data_loc=hr_dir)
+    out = hub.run_metrics(a, b, max_value=1.0, key_prefix="m",
+                          probe_names=["face_a", "face_b"])
+    assert len(out["m-face_PSNR"]) == 2
+    assert len(out["m-true_face_PSNR"]) == 2
+    with pytest.raises(ValueError):
+        hub.run_metrics(a, b, max_value=1.0)
+
+
+def test_metrics_hub_face_psnr_requires_hr_loc():
+    with pytest.raises(KeyError):
+        metrics.Metrics(["face_PSNR"])
