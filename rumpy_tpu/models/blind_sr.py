@@ -125,6 +125,10 @@ def _build_generator(name: str, scale: int, num_metadata: int, dtype,
         from rumpy_tpu.models.gan_models import QRRDBNet
         return QRRDBNet(scale=scale, num_metadata=num_metadata, dtype=dtype,
                         **gen_kwargs)
+    if name == "metabed":
+        from rumpy_tpu.models.metabed import Metabed
+        return Metabed(scale=scale, input_para=num_metadata, dtype=dtype,
+                       **gen_kwargs)
     raise KeyError(f"Unknown generator {name}")
 
 
@@ -457,3 +461,25 @@ class ContrastiveBlindQSANHandler(ContrastiveBlindSRHandler):
 @register_model("contrastiveblindqrealesrgan")
 class ContrastiveBlindQRealESRGANHandler(ContrastiveBlindSRHandler):
     generator_name = "qrealesrgan"
+
+
+@register_model("contrastiveblindmetabed")
+class ContrastiveBlindMetaBedHandler(ContrastiveBlindSRHandler):
+    """Mini-EDSR Metabed generator under the BoBW pipeline
+    (ContrastiveBlindMetaBedHandler, handlers.py:406-461): encoder
+    embedding feeds the Metabed's per-block metadata hooks;
+    selective_meta_blocks 'front_only' gates only block 0 (the
+    reference's hard-coded 8-long [True, False x7])."""
+
+    generator_name = "metabed"
+
+    def __init__(self, selective_meta_blocks="front_only",
+                 meta_block="q-layer", num_blocks=8, **kwargs):
+        if selective_meta_blocks == "front_only":
+            smb = (True,) + (False,) * (num_blocks - 1)
+        elif selective_meta_blocks in ("none", None):
+            smb = None
+        else:
+            smb = tuple(selective_meta_blocks)
+        super().__init__(selective_meta_blocks=smb, meta_block=meta_block,
+                         num_blocks=num_blocks, **kwargs)

@@ -31,6 +31,7 @@ import numpy as np
 
 from rumpy_tpu.models.base import BaseHandler, PIXEL_LOSSES
 from rumpy_tpu.models.common import Conv, pixel_shuffle
+from rumpy_tpu.models.gan_models import BaseGANHandler
 from rumpy_tpu.registry import register_model
 
 
@@ -465,3 +466,87 @@ class DANHandler(BaseHandler):
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state, rng=rng), losses
+
+
+@register_model("danv1qrealesrgan")
+class DANv1QRealESRGANHandler(BaseGANHandler):
+    """DAN v1 with a QRRDBNet (meta-attention Real-ESRGAN) restorer
+    trained under the GAN recipe (DANv1QRealESRGANHandler,
+    blur_kernel_blind_sr/handlers.py:139-334 + DANv1Models.py:176-230):
+    the per-iteration estimator predicts the PCA kernel code the
+    restorer conditions on; the generator loss is
+    lambda_pixel * (last-iter image L1 + kernel L1) + lambda_vgg *
+    VGG content + lambda_adv * vanilla-BCE adversarial against a U-Net
+    SN discriminator, after `pretrain_epochs` of pure DAN loss."""
+
+    gan_mode = "bce"
+    discriminator_type = "unet_sn"
+    uses_metadata = True
+    colorspace = "rgb"
+    im_input = "unmodified"
+
+    def __init__(self, selected_metadata=None, input_para=10,
+                 kernel_size=21, loop=4, use_pca_encoder=True,
+                 init_ker_map=None, pretrain_epochs=100,
+                 lambda_adv=0.1, lambda_pixel=1.0, lambda_vgg=1.0,
+                 nf=64, nb=23, gc=32, **kwargs):
+        self.selected_metadata = selected_metadata
+        if selected_metadata:
+            input_para = len(selected_metadata)
+        self.input_para = input_para
+        self.kernel_size = kernel_size
+        self.loop = loop
+        if init_ker_map is not None:
+            self._ikm = tuple(init_ker_map)
+        elif use_pca_encoder:
+            self._ikm = _default_init_ker_map(input_para, kernel_size)
+        else:
+            # use_pca_encoder=False fallback (DANv1Models.py:208)
+            self._ikm = (0.5,) * input_para
+        super().__init__(pretrain_epochs=pretrain_epochs,
+                         lambda_adv=lambda_adv, lambda_pixel=lambda_pixel,
+                         lambda_vgg=lambda_vgg, nf=nf, nb=nb, gc=gc,
+                         **kwargs)
+
+    def build_module(self, nf, nb, gc):
+        from rumpy_tpu.models.gan_models import QRRDBNet
+        restorer = QRRDBNet(scale=self.scale, nf=nf, nb=nb, gc=gc,
+                            num_metadata=self.input_para, dtype=self.dtype)
+        return DAN(scale=self.scale, input_para=self.input_para,
+                   kernel_size=self.kernel_size, loop=self.loop,
+                   init_ker_map=self._ikm, generator=restorer,
+                   dtype=self.dtype)
+
+    def apply(self, params, batch, train=False, rng=None, extra=None):
+        gp = params["generator"] if "generator" in params else params
+        out = self.module.apply({"params": gp}, batch["lr"])
+        if train:
+            return out, {}, extra
+        return out[0][-1], {}, extra
+
+    def _dan_loss(self, g_params, batch):
+        srs, ker_maps = self.module.apply({"params": g_params},
+                                          batch["lr"])
+        target = batch["metadata"].astype(jnp.float32)
+        if self.selected_metadata and \
+                target.shape[-1] != len(self.selected_metadata):
+            raise ValueError(
+                f"selected_metadata={self.selected_metadata} predicts "
+                f"{len(self.selected_metadata)} values but the batch "
+                f"metadata has {target.shape[-1]} columns — set "
+                "data.metadata to the same key list")
+        iter_losses: Dict[str, jnp.ndarray] = {}
+        d_sr = d_kr = 0.0
+        for i, (sr, km) in enumerate(zip(srs, ker_maps)):
+            d_sr = jnp.mean(jnp.abs(sr - batch["hr"]))
+            d_kr = jnp.mean(jnp.abs(km - target))
+            iter_losses[f"image-loss-iter-{i}"] = d_sr
+            iter_losses[f"kernel-loss-iter-{i}"] = d_kr
+        return srs[-1], d_sr + d_kr, iter_losses
+
+    def _generator_outputs(self, g_params, batch, extra):
+        return self._dan_loss(g_params, batch)
+
+    def _pretrain_loss(self, g_params, batch, extra):
+        _, dan_loss, iter_losses = self._dan_loss(g_params, batch)
+        return dan_loss, iter_losses

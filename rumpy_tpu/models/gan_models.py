@@ -284,6 +284,12 @@ class BaseGANHandler(BaseHandler):
         return img
 
     def _adv_g_loss(self, pred_fake, pred_real):
+        if self.gan_mode == "bce":
+            # vanilla BCE-with-logits on the fake prediction alone
+            # (DANv1QRealESRGANHandler.generator_update,
+            # blur_kernel_blind_sr/handlers.py:236-262)
+            return optax.sigmoid_binary_cross_entropy(
+                pred_fake, jnp.ones_like(pred_fake)).mean()
         if self.gan_mode == "relativistic":
             # relativistic average GAN (ESRGAN)
             real_rel = pred_real - pred_fake.mean()
@@ -296,6 +302,13 @@ class BaseGANHandler(BaseHandler):
         return jnp.mean((pred_fake - 1.0) ** 2)
 
     def _adv_d_loss(self, pred_fake, pred_real):
+        if self.gan_mode == "bce":
+            # discriminator_update (handlers.py:264-285): real vs 1,
+            # detached fake vs 0
+            return (optax.sigmoid_binary_cross_entropy(
+                        pred_real, jnp.ones_like(pred_real)).mean(),
+                    optax.sigmoid_binary_cross_entropy(
+                        pred_fake, jnp.zeros_like(pred_fake)).mean())
         if self.gan_mode == "relativistic":
             # the reference's discriminator_update detaches the ENTIRE
             # fake prediction ("detachment of gradients required",
@@ -311,6 +324,15 @@ class BaseGANHandler(BaseHandler):
         return (jnp.mean((pred_real - 1.0) ** 2),
                 jnp.mean(pred_fake ** 2))
 
+    def _generator_outputs(self, g_params, batch, extra):
+        """Hook: (sr, pixel-term, extra-loss dict) for the generator
+        update. DAN conjugations override this so the 'pixel' term is the
+        DAN image+kernel loss (handlers.py:286-307 dan_loss)."""
+        sr, _, _ = self.apply({"generator": g_params}, batch,
+                              train=True, extra=extra)
+        pp_sr, pp_hr = self._pixel_pair(sr, batch["hr"])
+        return sr, jnp.mean(jnp.abs(pp_sr - pp_hr)), {}
+
     def _gan_step_impl(self, state: TrainState, batch, vgg_params=None):
         rng, sub, dsub = jax.random.split(state.rng, 3)
         if self.input_fn is not None:  # fused online degradation
@@ -320,10 +342,8 @@ class BaseGANHandler(BaseHandler):
 
         # ---- generator update ----
         def g_loss_fn(g_params):
-            sr, _, _ = self.apply({"generator": g_params}, batch,
-                                  train=True, extra=extra)
-            pp_sr, pp_hr = self._pixel_pair(sr, batch["hr"])
-            pixel = jnp.mean(jnp.abs(pp_sr - pp_hr))
+            sr, pixel, g_extras = self._generator_outputs(g_params, batch,
+                                                          extra)
             pred_fake, _ = self._disc_apply(state.params["discriminator"],
                                             d_vars, self._disc_input(sr),
                                             False)
@@ -345,9 +365,9 @@ class BaseGANHandler(BaseHandler):
                 content = jnp.zeros((), sr.dtype)
             total = (self.lambda_vgg * content + self.lambda_adv * adv
                      + self.lambda_pixel * pixel)
-            return total, (sr, pixel, adv, content)
+            return total, (sr, pixel, adv, content, g_extras)
 
-        g_grads, (sr, pixel, adv, content) = jax.grad(
+        g_grads, (sr, pixel, adv, content, g_extras) = jax.grad(
             g_loss_fn, has_aux=True)(state.params["generator"])
         g_updates, g_opt = self.tx.update(g_grads,
                                           state.opt_state["generator"],
@@ -377,7 +397,8 @@ class BaseGANHandler(BaseHandler):
                   + self.lambda_pixel * pixel + self.lambda_adv * adv,
                   "l1-loss": pixel, "gan-loss": adv,
                   "vgg-loss": content,
-                  "d-loss-real": loss_real, "d-loss-fake": loss_fake}
+                  "d-loss-real": loss_real, "d-loss-fake": loss_fake,
+                  **g_extras}
         new_state = state.replace(
             step=state.step + 1,
             params={"generator": g_params, "discriminator": d_params},
@@ -385,23 +406,31 @@ class BaseGANHandler(BaseHandler):
             extra={**extra, "d_vars": new_d_vars}, rng=rng)
         return new_state, losses
 
+    def _pretrain_loss(self, g_params, batch, extra):
+        """Hook: (loss, extra-loss dict) for the L1 pre-training phase.
+        Plain L1 by default (pre_train_update semantics); DAN
+        conjugations use the DAN image+kernel loss (handlers.py:309-313)."""
+        sr, _, _ = self.apply({"generator": g_params}, batch,
+                              train=True, extra=extra)
+        return jnp.mean(jnp.abs(sr - batch["hr"])), {}
+
     def _pretrain_step_impl(self, state: TrainState, batch):
         rng, sub, dsub = jax.random.split(state.rng, 3)
         if self.input_fn is not None:  # fused online degradation
             batch = self.input_fn(dsub, batch)
 
         def loss_fn(g_params):
-            sr, _, _ = self.apply({"generator": g_params}, batch,
-                                  train=True, extra=state.extra)
-            return jnp.mean(jnp.abs(sr - batch["hr"]))
+            return self._pretrain_loss(g_params, batch, state.extra)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params["generator"])
+        (loss, p_extras), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params["generator"])
         updates, g_opt = self.tx.update(grads, state.opt_state["generator"],
                                         state.params["generator"])
         g_params = optax.apply_updates(state.params["generator"], updates)
         z = jnp.zeros(())
         losses = {"train-loss": loss, "l1-loss": loss, "gan-loss": z,
-                  "vgg-loss": z, "d-loss-real": z, "d-loss-fake": z}
+                  "vgg-loss": z, "d-loss-real": z, "d-loss-fake": z,
+                  **p_extras}
         new_state = state.replace(
             step=state.step + 1,
             params={**state.params, "generator": g_params},

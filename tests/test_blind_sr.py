@@ -117,3 +117,26 @@ def test_encoder_warm_start(rng, tmp_path):
     assert len(loaded) == len(trained)
     for a, b in zip(loaded, trained):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_contrastive_blind_metabed(rng):
+    """ContrastiveBlindMetaBedHandler (handlers.py:406-461): Metabed
+    generator with front_only meta gating under the BoBW pipeline."""
+    h = get_model("contrastiveblindmetabed")(
+        scale=2, num_blocks=2, num_features=8,
+        block_encoder_loading=True)
+    state = h.init_state()
+    batch = _batch(rng)
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (2, 16, 16, 3)
+    state2, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+
+
+def test_contrastive_blind_metabed_none_gating(rng):
+    h = get_model("contrastiveblindmetabed")(
+        scale=2, num_blocks=2, num_features=8,
+        selective_meta_blocks="none", block_encoder_loading=True)
+    state = h.init_state()
+    sr = h.run_eval(state, _batch(rng))
+    assert sr.shape == (2, 16, 16, 3)

@@ -4,6 +4,7 @@ numpy/scipy implementations of the reference formulas
 compression_utils.py)."""
 
 import io
+import os
 
 import jax
 import jax.numpy as jnp
@@ -189,3 +190,70 @@ def test_noise_image_pca_metadata(rng):
     # default path emits no pca column
     _, meta2 = RealESRGANNoise(seed=3)(im)
     assert "pca_noise" not in meta2
+
+
+def _fake_jm_dir(tmp_path):
+    """A mock JM install: lencod.exe copies the input YUV to ReconFile
+    verbatim (identity codec), exercising the real drive path (YUV 4:2:0
+    serialization, command assembly, recon parsing) hermetically."""
+    import stat
+    d = tmp_path / "jm"
+    d.mkdir()
+    (d / "encoder_baseline.cfg").write_text("# mock cfg\n")
+    exe = d / "lencod.exe"
+    exe.write_text(
+        "#!/usr/bin/env python3\n"
+        "import shutil, sys\n"
+        "args = dict(a.split('=', 1) for a in sys.argv if '=' in a)\n"
+        "shutil.copy(args['InputFile'], args['ReconFile'])\n")
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    return str(d)
+
+
+def test_jm_binary_hook_drive_path(tmp_path, rng):
+    """RUMPY_TPU_JM_BIN hook (compression.py:119-166): with a binary
+    present JMCompress shells out instead of using the native codec; an
+    identity mock proves the YUV round-trip is lossless up to 4:2:0
+    chroma subsampling and the metadata contract is unchanged."""
+    from PIL import Image
+
+    from rumpy_tpu.degradations.compression import JMCompress
+    src = "/root/reference/automated_testing/sisr_tests/eval_dataset/hr"
+    name = sorted(os.listdir(src))[0]
+    im = Image.open(os.path.join(src, name)).convert("RGB").crop(
+        (0, 0, 26, 24))
+    arr = np.asarray(im)
+    op = JMCompress(qpi=28, jm_bin=_fake_jm_dir(tmp_path),
+                    normalize_metadata=False)
+    out, meta = op(im)
+    assert meta == {"qpi": 28}
+    got = np.asarray(out)
+    # identity codec => Y plane survives the YCbCr round trip to ~1 LSB;
+    # chroma is 2x2-subsampled so RGB only roughly matches
+    y_in = np.asarray(im.convert("YCbCr"))[..., 0].astype(np.int16)
+    y_out = np.asarray(out.convert("YCbCr"))[..., 0].astype(np.int16)
+    assert np.abs(y_in - y_out).max() <= 2  # double YCbCr<->RGB rounding
+    assert got.shape == arr.shape
+    # metadata identical to the native path's contract
+    _, native_meta = JMCompress(qpi=28, normalize_metadata=False)(im)
+    assert sorted(native_meta) == sorted(meta)
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("RUMPY_TPU_JM_BIN")
+         and os.path.exists(os.path.join(
+             os.environ.get("RUMPY_TPU_JM_BIN", ""), "lencod.exe"))),
+    reason="real JM binary not installed (set RUMPY_TPU_JM_BIN)")
+def test_jm_binary_hook_real_binary(rng):
+    """Where a real JM lencod.exe exists, the bit-exact path is live:
+    output must differ from input (actual compression) and metadata must
+    carry the configured qpi."""
+    from PIL import Image
+
+    from rumpy_tpu.degradations.compression import JMCompress
+    im = Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    op = JMCompress(qpi=40, normalize_metadata=False)
+    out, meta = op(im)
+    assert meta == {"qpi": 40}
+    assert np.asarray(out).shape == (32, 32, 3)
+    assert not np.array_equal(np.asarray(out), np.asarray(im))

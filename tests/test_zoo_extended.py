@@ -116,3 +116,69 @@ def test_dan_qrcan_conjugation(rng):
     batch = _batch(rng, n=1, meta=4)
     sr = h.run_eval(state, batch)
     assert sr.shape == (1, 16, 16, 3)
+
+
+def test_danv1qrealesrgan(rng):
+    """DANv1QRealESRGANHandler (handlers.py:139-334): DAN alternation
+    with a QRRDBNet restorer under the GAN recipe — pretrain phase uses
+    the DAN loss, adversarial phase adds vanilla-BCE GAN terms."""
+    h = get_model("danv1qrealesrgan")(
+        scale=4, nf=8, nb=1, gc=8, input_para=4, kernel_size=9, loop=2,
+        pretrain_epochs=1)
+    state = h.init_state()
+    batch = {"lr": rng.random((2, 8, 8, 3)).astype(np.float32),
+             "hr": rng.random((2, 32, 32, 3)).astype(np.float32),
+             "metadata": rng.random((2, 4)).astype(np.float32)}
+    sr = h.run_eval(state, batch)
+    assert sr.shape == (2, 32, 32, 3)
+    # pretrain phase: DAN loss only, zero GAN terms
+    h.set_epoch(0)
+    state2, losses = h.train_batch(state, batch)
+    assert np.isfinite(float(losses["train-loss"]))
+    assert float(losses["gan-loss"]) == 0.0
+    assert "kernel-loss-iter-1" in losses
+    # adversarial phase: BCE GAN terms live
+    h.set_epoch(1)
+    state3, losses3 = h.train_batch(state2, batch)
+    assert np.isfinite(float(losses3["train-loss"]))
+    assert float(losses3["gan-loss"]) > 0.0
+    assert float(losses3["d-loss-real"]) > 0.0
+    assert "image-loss-iter-0" in losses3
+
+
+def test_registry_covers_every_reference_handler():
+    """Every non-discarded reference handler class resolves in this
+    registry (VERDICT r2 item 4): names follow the reference's AST
+    convention `<ClassName minus 'Handler'>.lower()`
+    (shared_framework/models/__init__.py:10-25), with the documented
+    consolidations (docs/parity_matrix.md)."""
+    import ast
+    import glob
+
+    from rumpy_tpu.registry import available_models
+
+    consolidated = {
+        # reference name -> this repo's name (documented consolidations)
+        "ikcpredictor": "ikc", "ikccorrector": "ikc",
+        "mococontrastive": "moco",
+        "dicgan": "dic",
+        "vggfeatureextractor": None,  # feature_extractors module, not a model
+    }
+    ref_names = set()
+    for path in glob.glob(
+            "/root/reference/rumpy/*/models/*/handlers.py"):
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef) and \
+                    node.name.endswith("Handler"):
+                ref_names.add(node.name[:-len("Handler")].lower())
+    assert len(ref_names) >= 55, ref_names
+    ours = set(available_models())
+    missing = []
+    for name in sorted(ref_names):
+        target = consolidated.get(name, name)
+        if target is None:
+            continue
+        if target not in ours:
+            missing.append(name)
+    assert not missing, f"unregistered reference handlers: {missing}"
