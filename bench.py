@@ -92,12 +92,88 @@ def main():
 
     steps_per_sec = n_steps / elapsed
     mp_per_sec = steps_per_sec * batch * hr_patch * hr_patch / 1e6
+
+    # ---- secondary metrics (VERDICT r2 item 7) — printed BEFORE the
+    # primary line so the driver's tail-parse still lands on the north
+    # star; failures here never mask the primary number.
+    try:
+        for line in _secondary_metrics(pipe, scale):
+            print(json.dumps(line))
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "secondary_error", "value": str(e)}))
+
     print(json.dumps({
         "metric": "rcan_x4_blind_train_throughput",
         "value": round(mp_per_sec, 3),
         "unit": "HR_megapixels/sec/chip",
         "vs_baseline": round(mp_per_sec / BASELINE_MP_PER_SEC, 3),
     }))
+
+
+def _secondary_metrics(pipe, scale):
+    """BoBW (config #5) blind train MP/s + full-image eval images/s."""
+    import jax.numpy as jnp
+
+    from rumpy_tpu.registry import get_model
+
+    lines = []
+
+    # BoBW flagship: frozen-encoder ContrastiveBlindQRCAN (config #5) —
+    # E(lr) embedding -> QRCAN(x, embedding), full-size generator, same
+    # fused on-device degradation chain.
+    batch, lr_patch = 64, 48
+    hr_patch = lr_patch * scale
+    bobw = get_model("contrastiveblindqrcan")(
+        scale=scale, n_feats=64, n_resgroups=10, n_resblocks=20,
+        block_encoder_loading=True, lr=1e-4, dtype="bf16")
+
+    def input_fn(key, b):
+        lr, _meta = pipe.degrade_batch(key, b["hr"])
+        return {"lr": lr, "hr": b["hr"]}
+
+    bobw.input_fn = input_fn
+    bobw._rejit()
+    bstate = bobw.init_state()
+    hr = jnp.asarray(np.random.default_rng(1).random(
+        (batch, hr_patch, hr_patch, 3)).astype(np.float32))
+    for _ in range(3):
+        bstate, blosses = bobw._train_step(bstate, {"hr": hr})
+    float(blosses["train-loss"])
+    n_steps, best = 10, None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            bstate, blosses = bobw._train_step(bstate, {"hr": hr})
+        float(blosses["train-loss"])
+        w = time.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    bobw_mp = n_steps / best * batch * hr_patch * hr_patch / 1e6
+    lines.append({"metric": "bobw_qrcan_x4_blind_train_throughput",
+                  "value": round(bobw_mp, 3),
+                  "unit": "HR_megapixels/sec/chip",
+                  "vs_baseline": round(bobw_mp / BASELINE_MP_PER_SEC, 3)})
+
+    # Full-image eval throughput at the Set5 working shape (baby.png LR
+    # is 128x128 at x4): steady-state jitted forward, host-fetch synced.
+    ev = get_model("rcan")(scale=scale, n_feats=64, n_resgroups=10,
+                           n_resblocks=20, dtype="bf16")
+    estate = ev.init_state()
+    img = jnp.asarray(np.random.default_rng(2).random(
+        (1, 128, 128, 3)).astype(np.float32))
+    out = ev.run_eval(estate, {"lr": img})
+    np.asarray(out)  # compile + fetch
+    n_im, best = 20, None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_im):
+            out = ev.run_eval(estate, {"lr": img})
+        np.asarray(out)
+        w = time.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    lines.append({"metric": "rcan_x4_eval_throughput_128px",
+                  "value": round(n_im / best, 3),
+                  "unit": "images/sec/chip"})
+    return lines
 
 
 if __name__ == "__main__":

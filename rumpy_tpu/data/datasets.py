@@ -82,6 +82,8 @@ class SuperResImages:
                  augmentations: bool = False,
                  online_degradations: bool = False,
                  degradation_pipeline=None,
+                 mask_data: Optional[str] = None,
+                 custom_mask_name: Optional[str] = None,
                  seed: int = 0):
         self.scale = scale
         self.input = input
@@ -98,6 +100,12 @@ class SuperResImages:
         self.online_degradations = online_degradations
         self.degradation_pipeline = degradation_pipeline
         self.requested_metadata = list(metadata) if metadata else None
+        # optional per-image HR loss masks (uvtex masks, reference
+        # data_handler.py:228-229, :545-556): mask_data = dir of masks
+        # named like the HR images, or custom_mask_name = one fixed
+        # filename resolved next to each HR image
+        self.mask_base = mask_data
+        self.custom_mask_name = custom_mask_name
         self._rng = np.random.default_rng(seed)
 
         base_dir = hr_dir if (online_degradations or lr_dir is None) else lr_dir
@@ -180,6 +188,26 @@ class SuperResImages:
             if os.path.isfile(c):
                 return c
         return None
+
+    def _load_mask(self, hr_path: str, th: int, tw: int
+                   ) -> Optional[np.ndarray]:
+        """HR loss mask, center-cropped to the aligned HR size
+        (reference data_handler.py:545-556). Returned as float32 HWC in
+        [0, 1] (our NHWC convention; the reference keeps raw uint8 CHW)."""
+        base_name = os.path.basename(hr_path)
+        if self.custom_mask_name:
+            path = os.path.join(os.path.dirname(hr_path),
+                                self.custom_mask_name)
+        else:
+            path = os.path.join(self.mask_base, base_name)
+        if not os.path.isfile(path):
+            return None
+        mask = _decode(path)
+        if mask.shape[0] != th or mask.shape[1] != tw:
+            oh = max(0, (mask.shape[0] - th) // 2)
+            ow = max(0, (mask.shape[1] - tw) // 2)
+            mask = mask[oh:oh + th, ow:ow + tw]
+        return mask.astype(np.float32) / 255.0
 
     def _colorspace_convert(self, arr_u8: np.ndarray) -> np.ndarray:
         x = arr_u8.astype(np.float32) / 255.0
@@ -297,12 +325,15 @@ class SuperResImages:
         lr = arr
         hr = _decode(hr_path) if hr_path else None
 
+        mask = None
         if hr is not None:
             # HR center-crop alignment to LR*scale (data_handler.py:530-558)
             th, tw = lr.shape[0] * self.scale, lr.shape[1] * self.scale
             oh = (hr.shape[0] - th) // 2
             ow = (hr.shape[1] - tw) // 2
             hr = hr[oh:oh + th, ow:ow + tw]
+            if self.mask_base is not None or self.custom_mask_name:
+                mask = self._load_mask(hr_path, th, tw)
 
         if self.input == "interp":
             lr = np.asarray(resize_ops.pil_resize(
@@ -353,9 +384,14 @@ class SuperResImages:
                 hs = cs * eff_scale
                 hr_f = hr_f[top * eff_scale:top * eff_scale + hs,
                             left * eff_scale:left * eff_scale + hs]
+                if mask is not None:
+                    mask = mask[top * eff_scale:top * eff_scale + hs,
+                                left * eff_scale:left * eff_scale + hs]
 
         if self.augmentations:
-            if hr_f is not None:
+            if hr_f is not None and mask is not None:
+                lr_f, hr_f, mask = self._augment(lr_f, hr_f, mask)
+            elif hr_f is not None:
                 lr_f, hr_f = self._augment(lr_f, hr_f)
             else:
                 lr_f, = self._augment(lr_f)
@@ -363,6 +399,8 @@ class SuperResImages:
         out["lr"] = lr_f.astype(np.float32)
         if hr_f is not None:
             out["hr"] = hr_f.astype(np.float32)
+        if mask is not None:
+            out["mask"] = mask.astype(np.float32)
 
         meta = self.metadata_map.get(tag)
         out["metadata"] = (meta if meta is not None
@@ -412,4 +450,8 @@ class VideoSequenceImages(SuperResImages):
                "metadata_keys": target["metadata_keys"]}
         if "hr" in target:
             out["hr"] = target["hr"]
+        if "mask" in target:
+            # optional uvtex loss mask of the HR target frame
+            # (reference data_handler.py:698-714)
+            out["mask"] = target["mask"]
         return out

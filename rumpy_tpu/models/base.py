@@ -140,6 +140,7 @@ class BaseHandler:
         self.in_features = in_features
         self.dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
         self.lr = lr
+        self.optimizer_type = optimizer_type
         if loss is not None:
             self.loss_type = loss
         self.model_kwargs = model_kwargs

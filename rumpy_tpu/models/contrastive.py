@@ -48,7 +48,7 @@ class DASREncoder(nn.Module):
             x = nn.Conv(feats, (3, 3), strides=(stride, stride),
                         padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                              dtype=self.dtype)(x)
             x = lrelu(x)
         fea = jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 256)

@@ -164,7 +164,7 @@ def grid_sample(x, grid):
 
 
 def _bn(train, dtype):
-    return nn.BatchNorm(use_running_average=not train, dtype=dtype)
+    return nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=dtype)
 
 
 def _up2(x):

@@ -64,7 +64,7 @@ class SPConv(nn.Module):
                     use_bias=self.norm in ("none", "pixel"),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.norm == "bn":
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                              dtype=self.dtype)(x)
         elif self.norm == "pixel":
             x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
@@ -139,7 +139,7 @@ class SPARResidualBlock(nn.Module):
         # preact: NormLayer + ReluLayer on c_in
         out = x
         if self.norm == "bn":
-            out = nn.BatchNorm(use_running_average=not train,
+            out = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                dtype=self.dtype)(out)
         if self.relu == "leakyrelu":
             out = nn.leaky_relu(out, 0.2)
@@ -463,7 +463,7 @@ class GANFaceDiscriminator(nn.Module):
         for _ in range(4):
             x = nn.Conv(self.nf, (5, 5), strides=(2, 2), padding="SAME",
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                              dtype=jnp.float32)(x)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)

@@ -152,13 +152,13 @@ class DSGANDiscriminator(nn.Module):
         h = nn.Conv(128, (5, 5), padding=((2, 2), (2, 2)),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="d1_conv")(h)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d2_bn")(h)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(256, (5, 5), padding=((2, 2), (2, 2)),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="d3_conv")(h)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d4_bn")(h)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(1, (1, 1), dtype=self.dtype,

@@ -136,10 +136,12 @@ class VGGStyleDiscriminator128(nn.Module):
                         strides=(stride, stride), use_bias=(i == 0),
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
             if i > 0:
-                x = nn.BatchNorm(use_running_average=not train,
+                x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                  dtype=self.dtype)(x)
             x = lrelu(x)
-        x = x.reshape(x.shape[0], -1)
+        # flatten in the torch CHW order (feat.view(n, -1) on NCHW,
+        # discriminators.py:66) so converted linear1 checkpoints align
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
         x = lrelu(nn.Dense(100, dtype=self.dtype,
                            param_dtype=jnp.float32)(x))
         return nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -195,7 +197,8 @@ class BaseGANHandler(BaseHandler):
     def __init__(self, pretrain_epochs=0, lambda_adv=5e-3, lambda_pixel=1e-2,
                  lambda_vgg=1.0, vgg_weights=None, vgg_layer="conv5_4",
                  discriminator=None, d_lr=None, nf=64, nb=23, gc=32,
-                 **kwargs):
+                 d_nf=64, main_lr=None, main_scheduler=None,
+                 main_scheduler_params=None, **kwargs):
         self.pretrain_epochs = pretrain_epochs
         self.lambda_adv = lambda_adv
         self.lambda_pixel = lambda_pixel
@@ -205,7 +208,17 @@ class BaseGANHandler(BaseHandler):
         self.discriminator_type = discriminator or self.discriminator_type
         self.curr_epoch = 0
         self._d_lr = d_lr
+        self.d_nf = d_nf
         super().__init__(nf=nf, nb=nb, gc=gc, **kwargs)
+        # The reference keeps SEPARATE pre_train and main Adam instances
+        # over the same generator params (handlers.py:52-61): the
+        # adversarial phase starts with FRESH moments at main_lr. self.tx
+        # (BaseHandler, built from `lr`) is the pre-train optimizer; the
+        # main optimizer gets its own state slot from init.
+        self.main_tx = build_optimizer(main_lr or self.lr,
+                                       optimizer_type=self.optimizer_type,
+                                       scheduler=main_scheduler,
+                                       scheduler_params=main_scheduler_params)
         # VGG-19 content loss (reference perceptual update,
         # non_blind_gan_models/__init__.py:35-139 + VGGNets.py:120-186)
         self.vgg_module = None
@@ -218,7 +231,8 @@ class BaseGANHandler(BaseHandler):
         # RRDB heads pixel-unshuffle at scale<4 (generators.py pixel
         # unshuffle input convention) — eval inputs must divide this.
         self.size_multiple = {1: 4, 2: 2}.get(self.scale, 1)
-        self.d_tx = build_optimizer(d_lr or self.lr)
+        self.d_tx = build_optimizer(d_lr or self.lr,
+                            optimizer_type=self.optimizer_type)
         self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0,))
 
     def build_module(self, nf, nb, gc):
@@ -227,8 +241,8 @@ class BaseGANHandler(BaseHandler):
 
     def build_discriminator(self) -> nn.Module:
         if self.discriminator_type in ("vgg128", "vgg"):
-            return VGGStyleDiscriminator128(dtype=self.dtype)
-        return UNetDiscriminatorSN(dtype=self.dtype)
+            return VGGStyleDiscriminator128(nf=self.d_nf, dtype=self.dtype)
+        return UNetDiscriminatorSN(nf=self.d_nf, dtype=self.dtype)
 
     def set_epoch(self, epoch: int) -> None:
         self.curr_epoch = epoch
@@ -248,9 +262,13 @@ class BaseGANHandler(BaseHandler):
                   "discriminator": d_vars["params"]}
         extra = {"d_vars": {k: v for k, v in d_vars.items()
                             if k != "params"}}
-        opt_state = {"generator": self.tx.init(params["generator"]),
+        opt_state = {"generator": self.main_tx.init(params["generator"]),
                      "discriminator": self.d_tx.init(
                          params["discriminator"])}
+        if self.pretrain_epochs:
+            # reference creates the pre-train optimizer only when a
+            # pretrain phase exists (handlers.py:55-58)
+            opt_state["generator_pre"] = self.tx.init(params["generator"])
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state, extra=extra, rng=srng)
 
@@ -341,16 +359,21 @@ class BaseGANHandler(BaseHandler):
         d_vars = extra["d_vars"]
 
         # ---- generator update ----
+        # the reference's discriminator stays in train() mode during the
+        # generator update (run_train, handlers.py:171-182): its BN uses
+        # BATCH statistics and the running stats advance — real first,
+        # then fake (generator_update, handlers.py:128-131). The mutated
+        # d_vars thread out through the aux so the D update continues
+        # from them.
         def g_loss_fn(g_params):
             sr, pixel, g_extras = self._generator_outputs(g_params, batch,
                                                           extra)
-            pred_fake, _ = self._disc_apply(state.params["discriminator"],
-                                            d_vars, self._disc_input(sr),
-                                            False)
-            pred_real, _ = self._disc_apply(state.params["discriminator"],
-                                            d_vars,
-                                            self._disc_input(batch["hr"]),
-                                            False)
+            pred_real, dv1 = self._disc_apply(
+                state.params["discriminator"], d_vars,
+                self._disc_input(batch["hr"]), True)
+            pred_fake, dv2 = self._disc_apply(
+                state.params["discriminator"], dv1,
+                self._disc_input(sr), True)
             adv = self._adv_g_loss(pred_fake,
                                    jax.lax.stop_gradient(pred_real))
             # VGG-19 content term (generator_update,
@@ -365,21 +388,22 @@ class BaseGANHandler(BaseHandler):
                 content = jnp.zeros((), sr.dtype)
             total = (self.lambda_vgg * content + self.lambda_adv * adv
                      + self.lambda_pixel * pixel)
-            return total, (sr, pixel, adv, content, g_extras)
+            return total, (sr, pixel, adv, content, g_extras, dv2)
 
-        g_grads, (sr, pixel, adv, content, g_extras) = jax.grad(
+        g_grads, (sr, pixel, adv, content, g_extras, g_d_vars) = jax.grad(
             g_loss_fn, has_aux=True)(state.params["generator"])
-        g_updates, g_opt = self.tx.update(g_grads,
-                                          state.opt_state["generator"],
-                                          state.params["generator"])
+        g_updates, g_opt = self.main_tx.update(
+            g_grads, state.opt_state["generator"],
+            state.params["generator"])
         g_params = optax.apply_updates(state.params["generator"], g_updates)
 
         # ---- discriminator update ----
         sr_detached = jax.lax.stop_gradient(sr)
+        g_d_vars = jax.lax.stop_gradient(g_d_vars)
 
         def d_loss_fn(d_params):
             pred_real, new_vars = self._disc_apply(
-                d_params, d_vars, self._disc_input(batch["hr"]), True)
+                d_params, g_d_vars, self._disc_input(batch["hr"]), True)
             pred_fake, new_vars = self._disc_apply(
                 d_params, new_vars, self._disc_input(sr_detached), True)
             loss_real, loss_fake = self._adv_d_loss(pred_fake, pred_real)
@@ -402,7 +426,8 @@ class BaseGANHandler(BaseHandler):
         new_state = state.replace(
             step=state.step + 1,
             params={"generator": g_params, "discriminator": d_params},
-            opt_state={"generator": g_opt, "discriminator": d_opt},
+            opt_state={**state.opt_state, "generator": g_opt,
+                       "discriminator": d_opt},
             extra={**extra, "d_vars": new_d_vars}, rng=rng)
         return new_state, losses
 
@@ -424,7 +449,11 @@ class BaseGANHandler(BaseHandler):
 
         (loss, p_extras), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params["generator"])
-        updates, g_opt = self.tx.update(grads, state.opt_state["generator"],
+        # pre-train phase steps its OWN optimizer (pre_train_update,
+        # handlers.py:104-116); the main optimizer's moments stay zero
+        # until the adversarial phase begins
+        updates, g_opt = self.tx.update(grads,
+                                        state.opt_state["generator_pre"],
                                         state.params["generator"])
         g_params = optax.apply_updates(state.params["generator"], updates)
         z = jnp.zeros(())
@@ -434,7 +463,7 @@ class BaseGANHandler(BaseHandler):
         new_state = state.replace(
             step=state.step + 1,
             params={**state.params, "generator": g_params},
-            opt_state={**state.opt_state, "generator": g_opt}, rng=rng)
+            opt_state={**state.opt_state, "generator_pre": g_opt}, rng=rng)
         return new_state, losses
 
     def _rejit(self):

@@ -213,7 +213,7 @@ class GMSA(nn.Module):
         mult = 2 if self.calc_attn else 1
         y = nn.Conv(self.channels * mult, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
         split = self.channels * mult // 3
         ys = []
         atns = []

@@ -98,7 +98,7 @@ class _ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
+        norm = lambda: nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=jnp.float32)
         residual = x
         if self.bottleneck:
@@ -149,7 +149,7 @@ class ResNet(nn.Module):
         x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train,
+        x = nn.relu(nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                  dtype=jnp.float32)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
@@ -179,7 +179,7 @@ class DenseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
+        norm = lambda: nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=jnp.float32)
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, dtype=self.dtype,
@@ -218,7 +218,7 @@ class _MBConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
+        norm = lambda: nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=jnp.float32)
         inp = x.shape[-1]
         y = x
@@ -264,7 +264,7 @@ class EfficientNet(nn.Module):
         def d(n):
             return int(np.ceil(n * self.depth_mult))
 
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
+        norm = lambda: nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=jnp.float32)
         x = nn.Conv(w(32), (3, 3), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)

@@ -156,14 +156,14 @@ class _ResidualBlockW(nn.Module):
                     use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c1_conv")(x)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="c2_bn")(h)
         h = nn.relu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c3_conv")(h)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="c4_bn")(h + identity)
         return nn.relu(h)
 
@@ -183,14 +183,14 @@ class _InterimBlockW(nn.Module):
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="c1_conv")(x)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="c2_bn")(h)
         h = nn.relu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c3_conv")(h)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="c4_bn")(h + identity)
         return nn.relu(h)
 
@@ -213,7 +213,7 @@ class WaveletSRNet(nn.Module):
         f = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="a00_conv")(x)
-        f = nn.BatchNorm(use_running_average=not train,
+        f = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="a01_bn")(f)
         f = nn.relu(f)
 
@@ -266,13 +266,13 @@ class WaveletDiscriminator(nn.Module):
                     padding=((1, 1), (1, 1)), feature_group_count=wc,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="d0_conv")(x)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d1_bn")(h)
         h = nn.leaky_relu(h, 0.01)
         h = nn.Conv(end_c * wc, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=wc, dtype=self.dtype,
                     param_dtype=jnp.float32, name="d2_conv")(h)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d3_bn")(h)
         h = nn.leaky_relu(h, 0.01)
         n, hh, ww, _ = h.shape

@@ -68,7 +68,7 @@ class ConvBNReLU(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=((self.pad, self.pad), (self.pad, self.pad)),
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+        x = nn.BatchNorm(momentum=0.9, use_running_average=True, dtype=self.dtype,
                          name="bn")(x)
         return nn.relu(x)
 
@@ -84,18 +84,18 @@ class BasicBlock(nn.Module):
         r = nn.Conv(self.out_chan, (3, 3), strides=(self.stride,) * 2,
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        r = nn.relu(nn.BatchNorm(use_running_average=True,
+        r = nn.relu(nn.BatchNorm(momentum=0.9, use_running_average=True,
                                  dtype=self.dtype, name="bn1")(r))
         r = nn.Conv(self.out_chan, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="conv2")(r)
-        r = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+        r = nn.BatchNorm(momentum=0.9, use_running_average=True, dtype=self.dtype,
                          name="bn2")(r)
         short = x
         if self.in_chan != self.out_chan or self.stride != 1:
             short = nn.Conv(self.out_chan, (1, 1),
                             strides=(self.stride,) * 2, use_bias=False,
                             dtype=self.dtype, name="downsample_0")(x)
-            short = nn.BatchNorm(use_running_average=True,
+            short = nn.BatchNorm(momentum=0.9, use_running_average=True,
                                  dtype=self.dtype,
                                  name="downsample_1")(short)
         return nn.relu(short + r)
@@ -108,7 +108,7 @@ class Resnet18(nn.Module):
     def __call__(self, x):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=True,
+        x = nn.relu(nn.BatchNorm(momentum=0.9, use_running_average=True,
                                  dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         x = BasicBlock(64, 1, 64, self.dtype, name="layer1_0")(x)
@@ -132,7 +132,7 @@ class AttentionRefinementModule(nn.Module):
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
         atten = nn.Conv(self.out_chan, (1, 1), use_bias=False,
                         dtype=self.dtype, name="conv_atten")(atten)
-        atten = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+        atten = nn.BatchNorm(momentum=0.9, use_running_average=True, dtype=self.dtype,
                              name="bn_atten")(atten)
         return feat * nn.sigmoid(atten)
 

@@ -211,3 +211,44 @@ def test_sinc_rows_keep_zero_sigma_under_normalization(rng):
     assert sinc.any() and (~sinc).any()
     assert np.all(sx[sinc] == 0.0)
     assert np.all(sx[~sinc] >= 0.0)
+
+
+def test_dataset_uvtex_masks(tmp_path, rng):
+    """HR loss masks (reference data_handler.py:228-229, :545-556,
+    :698-714): mask_data dir of per-image masks, center-cropped to the
+    aligned HR size, crop-synchronized with the HR patch, carried by
+    both SuperResImages and the VSR frame bundles."""
+    import numpy as np
+    from PIL import Image
+
+    from rumpy_tpu.data.datasets import SuperResImages, VideoSequenceImages
+    hr_dir, lr_dir, mask_dir = (tmp_path / "hr", tmp_path / "lr",
+                                tmp_path / "masks")
+    for d in (hr_dir, lr_dir, mask_dir):
+        d.mkdir()
+    for i in range(3):
+        hr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f"f{i}.png")
+        Image.fromarray(hr[::2, ::2]).save(lr_dir / f"f{i}.png")
+        mask = np.zeros((32, 32, 3), np.uint8)
+        mask[:16] = 255
+        Image.fromarray(mask).save(mask_dir / f"f{i}.png")
+
+    ds = SuperResImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir), scale=2,
+                        mask_data=str(mask_dir))
+    item = ds[0]
+    assert item["mask"].shape == item["hr"].shape
+    assert item["mask"].max() == 1.0 and item["mask"].min() == 0.0
+
+    ds_crop = SuperResImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir),
+                             scale=2, crop=8, mask_data=str(mask_dir),
+                             seed=5)
+    item = ds_crop[1]
+    assert item["mask"].shape == (16, 16, 3)
+
+    vsr = VideoSequenceImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir),
+                              scale=2, num_frames=3,
+                              mask_data=str(mask_dir))
+    item = vsr[0]
+    assert item["lr"].shape[-1] == 9
+    assert item["mask"].shape == item["hr"].shape

@@ -63,7 +63,8 @@ def _make_experiment(tmp_path, name, model_name, internal_params, state):
     return exp
 
 
-def _run_eval_cli(tmp_path, experiment, lr_dir, out_name):
+def _run_eval_cli(tmp_path, experiment, lr_dir, out_name,
+                  metrics=("PSNR", "SSIM"), **extra_cfg):
     from rumpy_tpu.cli.eval_sisr import main as eval_main
     from rumpy_tpu.config.loader import dump_toml
     out_loc = tmp_path / out_name
@@ -71,10 +72,11 @@ def _run_eval_cli(tmp_path, experiment, lr_dir, out_name):
         "model_loc": str(tmp_path / "Results"),
         "out_loc": str(out_loc),
         "scale": 4,
-        "metrics": ["PSNR", "SSIM"],
+        "metrics": list(metrics),
         "data": {"lr_dir": str(lr_dir), "hr_dir": HR_DIR,
                  "metadata_file": "on_site"},
         "models": [{"experiment": experiment, "epoch": 0}],
+        **extra_cfg,
     }
     p = tmp_path / f"{out_name}.toml"
     dump_toml(cfg, str(p))
@@ -84,11 +86,91 @@ def _run_eval_cli(tmp_path, experiment, lr_dir, out_name):
                        header=[0, 1], index_col=0)
 
 
+def _ref_eval_ssim(sr_chw, hr_chw, imf, ref_ssim):
+    """Reference SSIM chain (run_ssim non-multichannel single_values,
+    metrics.py:137-146): Y channel of the jpg-mode YCbCr conversion,
+    skimage gaussian_weights/sigma=1.5/use_sample_covariance=False
+    semantics. skimage itself is absent from this image, so the oracle is
+    the independently-validated scipy implementation from test_metrics."""
+    sr = np.clip(sr_chw, 0.0, 1.0).astype(np.float32)
+    hr = np.clip(hr_chw, 0.0, 1.0).astype(np.float32)
+    sr_y = imf.ycbcr_convert(sr.copy(), im_type="jpg", input="rgb",
+                             y_only=False)[0]
+    hr_y = imf.ycbcr_convert(hr.copy(), im_type="jpg", input="rgb",
+                             y_only=False)[0]
+    return float(ref_ssim(sr_y, hr_y, 1.0))
+
+
+def _random_lpips_npz(tmp_path, torch):
+    """Random-weight AlexNet + linear-head checkpoints in the official
+    torch layouts, run through convert_torch_lpips (VERDICT r2 item 5:
+    random weights suffice to pin the whole LPIPS column chain)."""
+    from rumpy_tpu.utils.lpips_jax import ALEX_CFG, convert_torch_lpips
+    torch.manual_seed(7)
+    alex_sd, lin_sd = {}, {}
+    feat_idx = [0, 3, 6, 8, 10]  # torchvision alexnet conv positions
+    in_ch = 3
+    for i, (f, k, s, p) in enumerate(ALEX_CFG):
+        alex_sd[f"features.{feat_idx[i]}.weight"] = \
+            torch.randn(f, in_ch, k, k) * 0.05
+        alex_sd[f"features.{feat_idx[i]}.bias"] = torch.randn(f) * 0.05
+        lin_sd[f"lin{i}.model.1.weight"] = torch.rand(1, f, 1, 1)
+        in_ch = f
+    alex_p = tmp_path / "alex.pth"
+    lin_p = tmp_path / "lins.pth"
+    torch.save(alex_sd, alex_p)
+    torch.save(lin_sd, lin_p)
+    out = tmp_path / "lpips_weights.npz"
+    convert_torch_lpips(str(lin_p), str(alex_p), str(out))
+    return str(out), alex_sd, lin_sd
+
+
+def _torch_lpips_distance(a_rgb_hwc, b_rgb_hwc, alex_sd, lin_sd, torch):
+    """Independent torch implementation of the lpips-alex formula
+    (scaling layer -> conv taps -> unit-normalize -> squared diff ->
+    1x1 lin heads -> spatial mean -> sum) mirroring the official
+    package's eval path, applied to our RGB [0,1] input convention."""
+    import torch.nn.functional as F
+
+    from rumpy_tpu.utils.lpips_jax import _SCALE, _SHIFT, ALEX_CFG
+    feat_idx = [0, 3, 6, 8, 10]
+
+    def prep(x):
+        t = torch.from_numpy(x.transpose(2, 0, 1)[None].copy())
+        shift = torch.tensor(_SHIFT)[None, :, None, None]
+        scale = torch.tensor(_SCALE)[None, :, None, None]
+        return (t * 2 - 1 - shift) / scale
+
+    def taps(x):
+        outs = []
+        for i, (f, k, s, p) in enumerate(ALEX_CFG):
+            x = F.conv2d(x, alex_sd[f"features.{feat_idx[i]}.weight"],
+                         alex_sd[f"features.{feat_idx[i]}.bias"],
+                         stride=s, padding=p)
+            x = F.relu(x)
+            outs.append(x)
+            if i in (0, 1):
+                x = F.max_pool2d(x, 3, 2)
+        return outs
+
+    with torch.no_grad():
+        fa, fb = taps(prep(a_rgb_hwc)), taps(prep(b_rgb_hwc))
+        total = 0.0
+        for i, (ta, tb) in enumerate(zip(fa, fb)):
+            na = ta / (ta.norm(dim=1, keepdim=True) + 1e-10)
+            nb = tb / (tb.norm(dim=1, keepdim=True) + 1e-10)
+            w = lin_sd[f"lin{i}.model.1.weight"]
+            total = total + F.conv2d((na - nb) ** 2, w).mean(dim=(1, 2, 3))
+        return float(total[0])
+
+
 def test_set5_bicubic_rcan_psnr_parity(tmp_path):
     """RCAN x4 over bicubic-downsampled Set5: reference eval semantics vs
-    our full eval_sisr CLI, per-image PSNR delta ≤ 0.01 dB for both the
-    model outputs and the bicubic reference column."""
+    our full eval_sisr CLI — per-image PSNR delta ≤ 0.01 dB, SSIM delta
+    ≤ 1e-4 and LPIPS delta ≤ 1e-4 (random-converted-weight AlexNet) for
+    both the model outputs and the bicubic reference column."""
     import torch
+    from test_metrics import ref_ssim
 
     imf = ref_loader.load_image_functions()
     psnr = ref_loader.load_ref_psnr()
@@ -117,14 +199,22 @@ def test_set5_bicubic_rcan_psnr_parity(tmp_path):
     exp = _make_experiment(tmp_path, "set5_rcan", "rcan", params_cfg, state)
     handler.save_model(state, str(exp / "saved_models"), 0)
 
+    lpips_npz, alex_sd, lin_sd = _random_lpips_npz(tmp_path, torch)
+
     # ---- reference-side eval (their semantics, their code) ----
     ref_model_psnr, ref_bic_psnr = {}, {}
+    ref_model_ssim, ref_bic_ssim = {}, {}
+    ref_model_lpips, ref_bic_lpips = {}, {}
     for f in sorted(os.listdir(HR_DIR)):
         hr = _load_chw(os.path.join(HR_DIR, f))
         lr = _load_chw(lr_dir / f)
         with torch.no_grad():
             sr = net(torch.from_numpy(lr)[None])[0].numpy()
         ref_model_psnr[f] = _ref_eval_psnr(sr, hr, imf, psnr)
+        ref_model_ssim[f] = _ref_eval_ssim(sr, hr, imf, ref_ssim)
+        ref_model_lpips[f] = _torch_lpips_distance(
+            np.clip(sr, 0, 1).transpose(1, 2, 0),
+            np.clip(hr, 0, 1).transpose(1, 2, 0), alex_sd, lin_sd, torch)
         # reference bicubic upsample: PIL resize on the uint8 image
         # (standard_eval.py:240-276 via ToPILImage round-trip)
         lr_im = Image.open(lr_dir / f).convert("RGB")
@@ -132,9 +222,15 @@ def test_set5_bicubic_rcan_psnr_parity(tmp_path):
                                       Image.BICUBIC),
                          np.float32).transpose(2, 0, 1) / 255.0
         ref_bic_psnr[f] = _ref_eval_psnr(bic, hr, imf, psnr)
+        ref_bic_ssim[f] = _ref_eval_ssim(bic, hr, imf, ref_ssim)
+        ref_bic_lpips[f] = _torch_lpips_distance(
+            np.clip(bic, 0, 1).transpose(1, 2, 0),
+            np.clip(hr, 0, 1).transpose(1, 2, 0), alex_sd, lin_sd, torch)
 
     # ---- our side: the full eval_sisr CLI ----
-    df = _run_eval_cli(tmp_path, "set5_rcan", lr_dir, "eval_bicubic")
+    df = _run_eval_cli(tmp_path, "set5_rcan", lr_dir, "eval_bicubic",
+                       metrics=["PSNR", "SSIM", "LPIPS"],
+                       lpips_weights=lpips_npz)
     assert len(df) == 5
     deltas = {}
     for f in ref_model_psnr:
@@ -144,13 +240,25 @@ def test_set5_bicubic_rcan_psnr_parity(tmp_path):
                      abs(ours_bic - ref_bic_psnr[f]))
     worst_model = max(d[0] for d in deltas.values())
     worst_bic = max(d[1] for d in deltas.values())
-    print(f"\nSet5 bicubic RCAN deltas (dB): model={worst_model:.5f} "
-          f"bicubic={worst_bic:.5f}")
+    ssim_d = max(max(abs(float(df.loc[f, ("set5_rcan", "SSIM")])
+                         - ref_model_ssim[f]),
+                     abs(float(df.loc[f, ("bicubic", "SSIM")])
+                         - ref_bic_ssim[f]))
+                 for f in ref_model_ssim)
+    lpips_d = max(max(abs(float(df.loc[f, ("set5_rcan", "LPIPS")])
+                          - ref_model_lpips[f]),
+                      abs(float(df.loc[f, ("bicubic", "LPIPS")])
+                          - ref_bic_lpips[f]))
+                  for f in ref_model_lpips)
+    print(f"\nSet5 bicubic RCAN deltas: PSNR model={worst_model:.5f} "
+          f"bicubic={worst_bic:.5f} SSIM={ssim_d:.6f} LPIPS={lpips_d:.6f}")
     for f, (dm, db) in sorted(deltas.items()):
         print(f"  {f}: model {dm:.5f}, bicubic {db:.5f} "
               f"(ref {ref_model_psnr[f]:.4f} / {ref_bic_psnr[f]:.4f})")
     assert worst_model <= 0.01, deltas
     assert worst_bic <= 0.01, deltas
+    assert ssim_d <= 1e-4
+    assert lpips_d <= 1e-4
 
 
 def test_set5_blind_qrcan_psnr_parity(tmp_path):
@@ -194,7 +302,9 @@ def test_set5_blind_qrcan_psnr_parity(tmp_path):
         os.path.join(BLIND_LR_DIR, "degradation_metadata.csv"),
         index_col=0)
     import json
-    ref_psnr_by_im = {}
+
+    from test_metrics import ref_ssim
+    ref_psnr_by_im, ref_ssim_by_im = {}, {}
     for f in sorted(meta_df.index):
         hr = _load_chw(os.path.join(HR_DIR, f))
         lr = _load_chw(os.path.join(BLIND_LR_DIR, f))
@@ -205,13 +315,87 @@ def test_set5_blind_qrcan_psnr_parity(tmp_path):
                      torch.from_numpy(kernel)[None, :, None, None]
                      )[0].numpy()
         ref_psnr_by_im[f] = _ref_eval_psnr(sr, hr, imf, psnr)
+        ref_ssim_by_im[f] = _ref_eval_ssim(sr, hr, imf, ref_ssim)
 
     df = _run_eval_cli(tmp_path, "set5_qrcan", BLIND_LR_DIR, "eval_blind")
     assert len(df) == 5
     deltas = {f: abs(float(df.loc[f, ("set5_qrcan", "PSNR")]) - p)
               for f, p in ref_psnr_by_im.items()}
     worst = max(deltas.values())
-    print(f"\nSet5 blind QRCAN deltas (dB): worst={worst:.5f}")
+    ssim_worst = max(abs(float(df.loc[f, ("set5_qrcan", "SSIM")]) - s)
+                     for f, s in ref_ssim_by_im.items())
+    print(f"\nSet5 blind QRCAN deltas: PSNR worst={worst:.5f} "
+          f"SSIM worst={ssim_worst:.6f}")
     for f, d in sorted(deltas.items()):
         print(f"  {f}: {d:.5f} (ref {ref_psnr_by_im[f]:.4f})")
     assert worst <= 0.01, deltas
+    assert ssim_worst <= 1e-4
+
+
+def test_set5_swinir_psnr_ssim_parity(tmp_path):
+    """Transformer family end-to-end (VERDICT r2 item 5): tiny SwinIR x4
+    (shifted-window attention, window padding on non-multiple Set5
+    sizes, nearest+conv head) through the full eval_sisr CLI vs the
+    reference SwinIR run under reference eval semantics."""
+    import sys
+
+    import torch
+    from test_arch_parity import _load_ref_swinir, _reorder_swinir_state
+    from test_metrics import ref_ssim
+
+    imf = ref_loader.load_image_functions()
+    psnr = ref_loader.load_ref_psnr()
+    ref_loader._install_stubs()
+    swin = _load_ref_swinir()
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    lr_dir = tmp_path / "lr_bicubic"
+    os.makedirs(lr_dir)
+    for f in sorted(os.listdir(HR_DIR)):
+        im = Image.open(os.path.join(HR_DIR, f)).convert("RGB")
+        im.resize((im.width // 4, im.height // 4),
+                  Image.BICUBIC).save(lr_dir / f)
+
+    torch.manual_seed(3)
+    net = swin.SwinIR(upscale=4, img_size=8, in_chans=3, window_size=4,
+                      img_range=1.0, depths=[2, 2], embed_dim=12,
+                      num_heads=[2, 2], mlp_ratio=2, drop_path_rate=0.0,
+                      upsampler="nearest+conv", resi_connection="1conv")
+    net.eval()
+
+    params_cfg = dict(scale=4, embed_dim=12, depths=(2, 2),
+                      num_heads=(2, 2), window_size=4, mlp_ratio=2.0,
+                      upsampler="nearest+conv")
+    handler = get_model("swinir")(**params_cfg)
+    state = handler.init_state()
+    state = state.replace(
+        params=convert_by_order(_reorder_swinir_state(net.state_dict()),
+                                state.params))
+    exp = _make_experiment(tmp_path, "set5_swinir", "swinir", params_cfg,
+                           state)
+    handler.save_model(state, str(exp / "saved_models"), 0)
+
+    ref_psnr_by_im, ref_ssim_by_im = {}, {}
+    for f in sorted(os.listdir(HR_DIR)):
+        hr = _load_chw(os.path.join(HR_DIR, f))
+        lr = _load_chw(lr_dir / f)
+        with torch.no_grad():
+            sr = net(torch.from_numpy(lr)[None])[0].numpy()
+        ref_psnr_by_im[f] = _ref_eval_psnr(sr, hr, imf, psnr)
+        ref_ssim_by_im[f] = _ref_eval_ssim(sr, hr, imf, ref_ssim)
+
+    df = _run_eval_cli(tmp_path, "set5_swinir", lr_dir, "eval_swinir")
+    assert len(df) == 5
+    deltas = {f: abs(float(df.loc[f, ("set5_swinir", "PSNR")]) - p)
+              for f, p in ref_psnr_by_im.items()}
+    worst = max(deltas.values())
+    ssim_worst = max(abs(float(df.loc[f, ("set5_swinir", "SSIM")]) - s)
+                     for f, s in ref_ssim_by_im.items())
+    print(f"\nSet5 SwinIR deltas: PSNR worst={worst:.5f} "
+          f"SSIM worst={ssim_worst:.6f}")
+    for f, d in sorted(deltas.items()):
+        print(f"  {f}: {d:.5f} (ref {ref_psnr_by_im[f]:.4f})")
+    assert worst <= 0.01, deltas
+    assert ssim_worst <= 1e-4

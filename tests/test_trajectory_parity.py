@@ -1,0 +1,388 @@
+"""Multi-step training-TRAJECTORY parity vs the torch reference
+(VERDICT r2 item 1): where the one-step test pins a single gradient +
+Adam update, these tests drive 25-40 consecutive optimizer steps with
+identical data and converted-weight init through three stateful regimes:
+
+  (a) RCAN + multi-step LR scheduler — pins the per-step scheduler
+      semantics (reference standard_update steps the scheduler after
+      every optimizer step, base_architecture.py:425-440; torch
+      MultiStepLR milestone m == optax piecewise boundary m, verified
+      step-for-step);
+  (b) SupMoCo — pins the EMA momentum-encoder update, queue + label-
+      queue evolution and in-batch/queue positive logits
+      (supmoco.py:53-125, moco.py:30-83);
+  (c) ESRGAN across the pretrain->adversarial boundary — pins the
+      L1-pretrain phase, the separate pre_train/main optimizer swap at
+      the boundary (fresh Adam moments, handlers.py:52-61), the
+      relativistic adversarial forms and the G-then-D update order
+      (handlers.py:117-168).
+
+Per-step train losses are asserted within fp tolerance and the final
+parameters leaf-for-leaf close. torch sides are driven with the
+reference's own architecture code where importable and the reference's
+exact update formulas (cited) where the handler class itself cannot be
+instantiated without a device/config stack.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tests")
+
+REF = "/root/reference/rumpy"
+
+
+@pytest.fixture(scope="module")
+def torch():
+    import torch as t
+    return t
+
+
+def _leaf_close(got_params, ref_params_tree, atol):
+    import jax
+    flat_ref = jax.tree_util.tree_leaves(ref_params_tree)
+    flat_got = jax.tree_util.tree_leaves(got_params)
+    assert len(flat_ref) == len(flat_got)
+    worst = 0.0
+    for a, b in zip(flat_got, flat_ref):
+        worst = max(worst, float(np.max(np.abs(np.asarray(a, np.float32)
+                                               - np.asarray(b, np.float32)))))
+    assert worst <= atol, f"worst param delta {worst} > {atol}"
+    return worst
+
+
+# ---------------------------------------------------------------------------
+# (a) RCAN + multi-step LR scheduler
+# ---------------------------------------------------------------------------
+
+def test_rcan_multistep_scheduler_trajectory(torch, rng):
+    import ref_loader
+    arch = ref_loader.load_advanced_arch()
+
+    import jax.numpy as jnp
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    steps = 30
+    milestones, gamma, lr = [5, 15, 22], 0.5, 1e-3
+
+    torch.manual_seed(0)
+    net = arch.RCAN(scale=2, n_resblocks=2, n_resgroups=2, n_feats=16)
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=milestones,
+                                                 gamma=gamma)
+
+    h = get_model("rcan")(scale=2, n_resblocks=2, n_resgroups=2, n_feats=16,
+                          lr=lr, scheduler="multi_step_lr",
+                          scheduler_params={"milestones": milestones,
+                                            "gamma": gamma})
+    state = h.init_state()
+    template = state.params
+    state = state.replace(params=convert_by_order(net.state_dict(),
+                                                  template))
+
+    xs = rng.random((steps, 2, 3, 12, 12)).astype(np.float32)
+    ys = rng.random((steps, 2, 3, 24, 24)).astype(np.float32)
+
+    ref_losses, got_losses = [], []
+    for i in range(steps):
+        out = net(torch.from_numpy(xs[i]))
+        loss = torch.nn.functional.l1_loss(out, torch.from_numpy(ys[i]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()  # standard_update scheduler cadence
+        ref_losses.append(float(loss.detach()))
+
+        state, losses = h.train_batch(
+            state, {"lr": jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+                    "hr": jnp.asarray(ys[i].transpose(0, 2, 3, 1))})
+        got_losses.append(float(losses["train-loss"]))
+
+    deltas = np.abs(np.array(ref_losses) - np.array(got_losses))
+    print(f"\nRCAN multistep trajectory: worst per-step loss delta "
+          f"{deltas.max():.2e} at step {deltas.argmax()}")
+    assert deltas.max() < 5e-5, list(zip(ref_losses, got_losses))
+
+    worst = _leaf_close(state.params,
+                        convert_by_order(net.state_dict(), template),
+                        atol=5e-4)
+    print(f"RCAN multistep trajectory: final param worst delta {worst:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# (b) SupMoCo: EMA + queue + label queue over 25 steps
+# ---------------------------------------------------------------------------
+
+def _load_ref_supmoco(torch):
+    """Reference SupMoCo + the DASR Encoder backbone, loaded directly
+    (moco.py pulls torchvision only for non-default backbones — the
+    default 'default' path uses encoding_models.Encoder)."""
+    import importlib.util
+    import types
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    import ref_loader
+    ref_loader._install_stubs()
+    for pkg in ["rumpy", "rumpy.regression", "rumpy.regression.models",
+                "rumpy.regression.models.contrastive_learning",
+                "rumpy.SISR", "rumpy.SISR.models",
+                "rumpy.SISR.models.feature_extractors"]:
+        sys.modules.setdefault(pkg, types.ModuleType(pkg))
+    # give the package a real __path__ so moco.py's relative
+    # `.base_models` import resolves against the reference tree
+    sys.modules["rumpy.regression.models.contrastive_learning"].__path__ = \
+        [f"{REF}/regression/models/contrastive_learning"]
+    enc = load(
+        "rumpy.regression.models.contrastive_learning.encoding_models",
+        f"{REF}/regression/models/contrastive_learning/encoding_models.py")
+    load("rumpy.regression.models.contrastive_learning.moco",
+         f"{REF}/regression/models/contrastive_learning/moco.py")
+    supmoco = load("rumpy.regression.models.contrastive_learning.supmoco",
+                   f"{REF}/regression/models/contrastive_learning/supmoco.py")
+    return supmoco, enc
+
+
+def test_supmoco_trajectory(torch, rng):
+    """25 SupMoCo steps: loss + queue + queue_labels + queue_ptr + both
+    encoders match the reference's module driven by its own forward
+    (reference SupMoCo.forward, supmoco.py:53-125), with the EMA key
+    encoder updated inside each step."""
+    import jax
+    import jax.numpy as jnp
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    supmoco_mod, enc_mod = _load_ref_supmoco(torch)
+
+    # dim is pinned to 256 by the reference's DASR Encoder MLP
+    # (encoding_models.py:30-34)
+    steps, n, p, K, dim, nclass = 25, 4, 2, 32, 256, 5
+    torch.manual_seed(0)
+    ref = supmoco_mod.SupMoCo(device="cpu", positives_per_class=p,
+                              contrastive_dropdown=False,
+                              base_encoder=enc_mod.Encoder, dim=dim, K=K,
+                              m=0.99, T=0.07)
+    ref.register_classes(nclass)
+    ref.train()
+    # SGD+momentum rather than Adam: Adam's g/sqrt(g^2) first-step
+    # normalization turns fp-level gradient noise into +-lr sign flips,
+    # which compounds into O(1e-2) trajectory drift in 25 steps with the
+    # T=0.07 contrastive loss — with SGD the trajectories stay
+    # fp-tight, pinning the EMA/queue/label-queue semantics exactly
+    # (Adam itself is pinned by the RCAN one-step + multistep tests)
+    opt = torch.optim.SGD(ref.encoder_q.parameters(), lr=1e-2,
+                          momentum=0.9)
+
+    h = get_model("supmoco")(dim=dim, K=K, m=0.99, T=0.07,
+                             num_classes=nclass, positives_per_class=p,
+                             contrastive_dropdown=False, lr=1e-2,
+                             optimizer_type="sgd",
+                             scheduler_params={"momentum": 0.9})
+    state = h.init_state()
+    template = state.params
+    q_params = convert_by_order(ref.encoder_q.state_dict(), template)
+    # strip BatchNorm running stats out of the torch state dict order:
+    # convert_by_order maps BN buffers too — build bstats separately
+    state = state.replace(params=q_params)
+    # align batch stats + key encoder exactly
+    import flax
+    k_params = convert_by_order(ref.encoder_k.state_dict(), template)
+    new_extra = dict(state.extra)
+    new_extra["key_params"] = k_params
+    # fresh BN stats match torch defaults (mean 0 var 1) already
+    # reference queue starts N(0,1)-normalized; copy it over verbatim
+    ref_queue = ref.queue.detach().numpy().T.copy()  # (K, dim)
+    new_extra["queue"] = jnp.asarray(ref_queue)
+    new_extra["queue_labels"] = jnp.asarray(
+        ref.queue_labels.numpy().astype(np.int32))
+    # reference sentinel == num_classes; ours uses -1 — both one-hot to
+    # a class no real label matches under nc+1 classes, so keep theirs
+    state = state.replace(extra=new_extra)
+
+    ref_losses, got_losses = [], []
+    ce = torch.nn.CrossEntropyLoss()
+    for i in range(steps):
+        imq = rng.random((n, 3, 32, 32)).astype(np.float32)
+        imk = rng.random((n * p, 3, 32, 32)).astype(np.float32)
+        labels = rng.integers(0, nclass, size=(n,)).astype(np.int64)
+
+        _, logits, targets, _ = ref(torch.from_numpy(imq),
+                                    torch.from_numpy(imk),
+                                    labels=torch.from_numpy(labels))
+        loss = ce(logits, targets)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+        state, losses = h.train_batch(
+            state, {"image_query": jnp.asarray(imq.transpose(0, 2, 3, 1)),
+                    "image_key": jnp.asarray(imk.transpose(0, 2, 3, 1)),
+                    "labels": jnp.asarray(labels.astype(np.int32))})
+        got_losses.append(float(losses["train-loss"]))
+
+    deltas = np.abs(np.array(ref_losses) - np.array(got_losses))
+    print(f"\nSupMoCo trajectory: worst per-step loss delta "
+          f"{deltas.max():.2e} at step {deltas.argmax()}")
+    assert deltas.max() < 5e-4, list(zip(ref_losses, got_losses))
+
+    # final state parity: query params, EMA key params, queue content,
+    # label queue, pointer
+    worst_q = _leaf_close(state.params,
+                          convert_by_order(ref.encoder_q.state_dict(),
+                                           template), atol=1e-3)
+    worst_k = _leaf_close(state.extra["key_params"],
+                          convert_by_order(ref.encoder_k.state_dict(),
+                                           template), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(state.extra["queue"]),
+                               ref.queue.detach().numpy().T, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(state.extra["queue_labels"]),
+        ref.queue_labels.numpy().astype(np.int32))
+    assert int(state.extra["queue_ptr"]) == int(ref.queue_ptr)
+    print(f"SupMoCo trajectory: final q/k param worst deltas "
+          f"{worst_q:.2e}/{worst_k:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# (c) ESRGAN across the pretrain -> adversarial boundary
+# ---------------------------------------------------------------------------
+
+def _load_ref_gan_nets(torch):
+    import importlib.util
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    import ref_loader
+    ref_loader._install_stubs()
+    gens = load("ref_gan_generators",
+                f"{REF}/SISR/models/non_blind_gan_models/generators.py")
+    discs = load("ref_gan_discriminators",
+                 f"{REF}/SISR/models/non_blind_gan_models/discriminators.py")
+    return gens, discs
+
+
+def test_esrgan_phase_boundary_trajectory(torch, rng):
+    """8 pretrain steps + 8 adversarial steps across the phase flip.
+    torch side follows the reference handler's exact update math
+    (pre_train_update handlers.py:104-116: L1 via the PRE-TRAIN
+    optimizer; generator_update/discriminator_update handlers.py:117-168:
+    relativistic-average BCE, fresh MAIN optimizer from the boundary,
+    G update then D update on the detached fake). vgg content term off
+    on both sides (no pretrained VGG in either; lambda_vgg=0)."""
+    import jax.numpy as jnp
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    gens, discs = _load_ref_gan_nets(torch)
+
+    pre_steps, gan_steps = 8, 8
+    pretrain_lr, main_lr, d_lr = 2e-4, 1e-4, 1e-4
+    lambda_adv, lambda_pixel = 5e-3, 1e-2
+
+    torch.manual_seed(0)
+    net = gens.RRDBNet(scale=4, num_feat=16, num_block=2, num_grow_ch=8)
+    disc = discs.VGGStyleDiscriminator128(num_feat=16)
+    net.train()
+    disc.train()
+    pre_opt = torch.optim.Adam(net.parameters(), lr=pretrain_lr)
+    main_opt = torch.optim.Adam(net.parameters(), lr=main_lr)
+    d_opt = torch.optim.Adam(disc.parameters(), lr=d_lr)
+    bce = torch.nn.BCEWithLogitsLoss()
+
+    h = get_model("esrgan")(scale=4, nf=16, nb=2, gc=8, d_nf=16,
+                            pretrain_epochs=1, lr=pretrain_lr,
+                            main_lr=main_lr, d_lr=d_lr,
+                            lambda_adv=lambda_adv,
+                            lambda_pixel=lambda_pixel)
+    state = h.init_state()
+    g_template = state.params["generator"]
+    d_template = state.params["discriminator"]
+    state = state.replace(params={
+        "generator": convert_by_order(net.state_dict(), g_template),
+        "discriminator": convert_by_order(disc.state_dict(), d_template)})
+
+    xs = rng.random((pre_steps + gan_steps, 2, 3, 32, 32)).astype(np.float32)
+    ys = rng.random((pre_steps + gan_steps, 2, 3, 128, 128)).astype(
+        np.float32)
+
+    ref_losses, got_losses = [], []
+    h.set_epoch(0)
+    for i in range(pre_steps):
+        out = net(torch.from_numpy(xs[i]))
+        loss = torch.nn.functional.l1_loss(out, torch.from_numpy(ys[i]))
+        pre_opt.zero_grad()
+        loss.backward()
+        pre_opt.step()
+        ref_losses.append(float(loss.detach()))
+        state, losses = h.train_batch(
+            state, {"lr": jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+                    "hr": jnp.asarray(ys[i].transpose(0, 2, 3, 1))})
+        got_losses.append(float(losses["train-loss"]))
+
+    h.set_epoch(1)  # adversarial phase; fresh main optimizer from here
+    for i in range(pre_steps, pre_steps + gan_steps):
+        x, y = torch.from_numpy(xs[i]), torch.from_numpy(ys[i])
+        out = net(x)
+        # generator_update (handlers.py:117-146), content term absent
+        l1 = torch.nn.functional.l1_loss(out, y)
+        pred_real = disc(y).detach()
+        pred_fake = disc(out)
+        valid = torch.ones_like(pred_real)
+        fake = torch.zeros_like(pred_fake)
+        loss_gan = (bce(pred_real - pred_fake.mean(0, keepdim=True), fake)
+                    + bce(pred_fake - pred_real.mean(0, keepdim=True),
+                          valid)) / 2
+        loss_G = lambda_adv * loss_gan + lambda_pixel * l1
+        main_opt.zero_grad()
+        loss_G.backward()
+        main_opt.step()
+        # discriminator_update (handlers.py:148-168): the fake
+        # PREDICTION is detached ("detachment of gradients required") —
+        # D gradients flow only through pred_real
+        pred_real = disc(y)
+        pred_fake = disc(out.detach()).detach()
+        loss_d = (bce(pred_real - pred_fake.mean(0, keepdim=True), valid)
+                  + bce(pred_fake - pred_real.mean(0, keepdim=True),
+                        fake)) / 2
+        d_opt.zero_grad()
+        loss_d.backward()
+        d_opt.step()
+        ref_losses.append(float(loss_G.detach()))
+
+        state, losses = h.train_batch(
+            state, {"lr": jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+                    "hr": jnp.asarray(ys[i].transpose(0, 2, 3, 1))})
+        got_losses.append(float(losses["train-loss"]))
+
+    deltas = np.abs(np.array(ref_losses) - np.array(got_losses))
+    print("\nESRGAN boundary per-step deltas:",
+          ["%.2e" % d for d in deltas])
+    assert deltas.max() < 2e-4, list(zip(ref_losses, got_losses))
+
+    worst_g = _leaf_close(state.params["generator"],
+                          convert_by_order(net.state_dict(), g_template),
+                          atol=1e-3)
+    worst_d = _leaf_close(state.params["discriminator"],
+                          convert_by_order(disc.state_dict(), d_template),
+                          atol=1e-3)
+    print(f"ESRGAN boundary trajectory: final G/D param worst deltas "
+          f"{worst_g:.2e}/{worst_d:.2e}")
