@@ -65,7 +65,7 @@ def main():
         return {"lr": lr, "hr": b["hr"]}
 
     handler.set_input_pipeline(input_fn)
-    state = handler.init_state()
+    state = _init_on_cpu(handler)
 
     hr = jnp.asarray(np.random.default_rng(0).random(
         (batch, hr_patch, hr_patch, 3)).astype(np.float32))
@@ -74,9 +74,11 @@ def main():
     # loss (float(...)), not block_until_ready — under the remote-TPU
     # tunnel block_until_ready returns before execution completes, which
     # silently times dispatch instead of compute.
+    t_compile = time.perf_counter()
     for _ in range(3):
         state, losses = handler._train_step(state, {"hr": hr})
     float(losses["train-loss"])
+    t_compile = time.perf_counter() - t_compile
 
     # best of 3 windows — robust to tunnel/dispatch jitter
     n_steps = 20
@@ -95,12 +97,19 @@ def main():
 
     # ---- secondary metrics (VERDICT r2 item 7) — printed BEFORE the
     # primary line so the driver's tail-parse still lands on the north
-    # star; failures here never mask the primary number.
-    try:
-        for line in _secondary_metrics(pipe, scale):
-            print(json.dumps(line))
-    except Exception as e:  # pragma: no cover
-        print(json.dumps({"metric": "secondary_error", "value": str(e)}))
+    # star; failures here never mask the primary number. Each extra
+    # program costs 2-10 unpredictable minutes of remote compile over
+    # the axon tunnel (measured; the persistent compile cache does not
+    # help there), so they only run when compiles are fast (real local
+    # chip) or explicitly requested — the one-off tunnel-measured
+    # figures are recorded in BASELINE.md.
+    import os
+    if t_compile < 120.0 or os.environ.get("RUMPY_TPU_BENCH_FULL"):
+        try:
+            for line in _secondary_metrics(pipe, scale):
+                print(json.dumps(line))
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "secondary_error", "value": str(e)}))
 
     print(json.dumps({
         "metric": "rcan_x4_blind_train_throughput",
@@ -108,6 +117,16 @@ def main():
         "unit": "HR_megapixels/sec/chip",
         "vs_baseline": round(mp_per_sec / BASELINE_MP_PER_SEC, 3),
     }))
+
+
+def _init_on_cpu(handler):
+    """Eager init over the remote-TPU tunnel costs one round trip PER OP
+    (minutes for a full-size model); init on the coexisting CPU backend
+    and transfer the finished pytree once."""
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = handler.init_state()
+    return jax.device_put(jax.device_get(state), jax.devices()[0])
 
 
 def _secondary_metrics(pipe, scale):
@@ -133,7 +152,7 @@ def _secondary_metrics(pipe, scale):
 
     bobw.input_fn = input_fn
     bobw._rejit()
-    bstate = bobw.init_state()
+    bstate = _init_on_cpu(bobw)
     hr = jnp.asarray(np.random.default_rng(1).random(
         (batch, hr_patch, hr_patch, 3)).astype(np.float32))
     for _ in range(3):
@@ -157,7 +176,7 @@ def _secondary_metrics(pipe, scale):
     # is 128x128 at x4): steady-state jitted forward, host-fetch synced.
     ev = get_model("rcan")(scale=scale, n_feats=64, n_resgroups=10,
                            n_resblocks=20, dtype="bf16")
-    estate = ev.init_state()
+    estate = _init_on_cpu(ev)
     img = jnp.asarray(np.random.default_rng(2).random(
         (1, 128, 128, 3)).astype(np.float32))
     out = ev.run_eval(estate, {"lr": img})
