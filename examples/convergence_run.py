@@ -108,7 +108,9 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
 
 
 def bicubic_baseline() -> float:
-    """Mean Y-PSNR of PIL-parity bicubic x4 on the blind eval set."""
+    """Mean Y-PSNR of PIL-parity bicubic x4 on the blind eval set.
+    Runs on the CPU backend: each distinct image shape would otherwise
+    cost minutes of remote compile over the tunnel."""
     import jax
 
     from PIL import Image
@@ -117,20 +119,24 @@ def bicubic_baseline() -> float:
     from rumpy_tpu.utils.color import rgb_to_ycbcr
     from rumpy_tpu.utils.metrics import psnr
     vals = []
-    for f in sorted(os.listdir(EVAL_LR)):
-        if not f.endswith(".png"):
-            continue
-        lr = np.asarray(Image.open(os.path.join(EVAL_LR, f)).convert("RGB"))
-        hr = np.asarray(Image.open(os.path.join(EVAL_HR, f)).convert("RGB"),
-                        np.float32) / 255.0
-        bic = np.asarray(resize_ops.pil_resize(
-            lr, (lr.shape[0] * 4, lr.shape[1] * 4))).astype(np.float32) / 255.0
-        hr = hr[:bic.shape[0], :bic.shape[1]]
-        by = np.asarray(rgb_to_ycbcr(np.clip(bic, 0, 1), y_only=True,
-                                     im_type="jpg"))
-        hy = np.asarray(rgb_to_ycbcr(np.clip(hr, 0, 1), y_only=True,
-                                     im_type="jpg"))
-        vals.append(float(psnr(by, hy, 1.0)))
+    with jax.default_device(jax.devices("cpu")[0]):
+        for f in sorted(os.listdir(EVAL_LR)):
+            if not f.endswith(".png"):
+                continue
+            lr = np.asarray(Image.open(
+                os.path.join(EVAL_LR, f)).convert("RGB"))
+            hr = np.asarray(Image.open(
+                os.path.join(EVAL_HR, f)).convert("RGB"),
+                np.float32) / 255.0
+            bic = np.asarray(resize_ops.pil_resize(
+                lr, (lr.shape[0] * 4, lr.shape[1] * 4))
+            ).astype(np.float32) / 255.0
+            hr = hr[:bic.shape[0], :bic.shape[1]]
+            by = np.asarray(rgb_to_ycbcr(np.clip(bic, 0, 1), y_only=True,
+                                         im_type="jpg"))
+            hy = np.asarray(rgb_to_ycbcr(np.clip(hr, 0, 1), y_only=True,
+                                         im_type="jpg"))
+            vals.append(float(psnr(by, hy, 1.0)))
     return float(np.mean(vals))
 
 
@@ -152,7 +158,7 @@ def main():
     from click.testing import CliRunner
 
     from rumpy_tpu.cli.train_sisr import main as train_main
-    r = CliRunner().invoke(train_main, ["--config", cfg], catch_exceptions=False)
+    r = CliRunner().invoke(train_main, ["--parameters", cfg], catch_exceptions=False)
     print(r.output[-3000:])
     assert r.exit_code == 0
 

@@ -300,6 +300,13 @@ class SuperResImages:
                 hr = arr
                 if self.crop is not None:
                     cs = self.crop * self.scale
+                    if hr.shape[0] < cs or hr.shape[1] < cs:
+                        # reflect-pad undersized images up to the crop so
+                        # every patch in the batch has one static shape
+                        ph = max(0, cs - hr.shape[0])
+                        pw = max(0, cs - hr.shape[1])
+                        hr = np.pad(hr, ((0, ph), (0, pw), (0, 0)),
+                                    mode="reflect")
                     top = int(self._rng.integers(
                         0, max(1, hr.shape[0] - cs + 1)))
                     left = int(self._rng.integers(

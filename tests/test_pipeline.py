@@ -252,3 +252,22 @@ def test_dataset_uvtex_masks(tmp_path, rng):
     item = vsr[0]
     assert item["lr"].shape[-1] == 9
     assert item["mask"].shape == item["hr"].shape
+
+
+def test_online_degradation_pads_undersized_images(tmp_path, rng):
+    """Images smaller than crop*scale reflect-pad up to the patch size in
+    online-degradation mode so batch shapes stay static."""
+    import numpy as np
+    from PIL import Image
+
+    from rumpy_tpu.data.datasets import SuperResImages
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    Image.fromarray((rng.random((20, 14, 3)) * 255).astype(np.uint8)).save(
+        hr_dir / "small.png")
+    Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+        hr_dir / "big.png")
+    ds = SuperResImages(hr_dir=str(hr_dir), scale=2, crop=16,
+                        online_degradations=True)
+    shapes = {ds[i]["hr"].shape for i in range(len(ds))}
+    assert shapes == {(32, 32, 3)}
