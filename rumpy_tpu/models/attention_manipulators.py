@@ -24,11 +24,12 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import Conv, TConv, Upsampler
 import jax.numpy as jnp
 import numpy as np
 
 from rumpy_tpu.models.base import BaseHandler
-from rumpy_tpu.models.common import Conv, Upsampler
 from rumpy_tpu.registry import register_model
 
 # ---------------------------------------------------------------------------
@@ -56,7 +57,7 @@ class ParaCALayer(nn.Module):
                           // multiplier + self.num_metadata)
             else:
                 out_ch = self.network_channels // multiplier
-            y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+            y = TConv(out_ch, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(y)
             if self.nonlinearity and multiplier != 1:
                 y = nn.relu(y)
@@ -96,7 +97,7 @@ class ResPipesCALayer(nn.Module):
             sizes = self._pipe_sizes(i)
             y = y_in
             for out_ch in sizes[1:]:
-                y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                y = TConv(out_ch, (1, 1), dtype=self.dtype,
                             param_dtype=jnp.float32)(y)
                 if self.nonlinearity:
                     y = nn.relu(y)
@@ -105,7 +106,7 @@ class ResPipesCALayer(nn.Module):
             combined = sum(outs)
         else:
             combined = jnp.concatenate(outs, axis=-1)
-        y = nn.Conv(self.network_channels, (1, 1), dtype=self.dtype,
+        y = TConv(self.network_channels, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(combined)
         y = nn.sigmoid(y)
         self.sow("intermediates", "attention", y)
@@ -144,7 +145,7 @@ class ResPipesSplitCALayer(nn.Module):
             sizes = [int(diff * j + start) for j in range(n + 1)]
             h = carry
             for out_ch in sizes[1:]:
-                h = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                h = TConv(out_ch, (1, 1), dtype=self.dtype,
                             param_dtype=jnp.float32)(h)
                 if self.nonlinearity:
                     h = nn.relu(h)
@@ -154,7 +155,7 @@ class ResPipesSplitCALayer(nn.Module):
                 kept.append(h[..., :split_f])
                 carry = h[..., split_f:]
         combined = jnp.concatenate(kept, axis=-1)
-        att = nn.Conv(self.network_channels, (1, 1), dtype=self.dtype,
+        att = TConv(self.network_channels, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(combined)
         att = nn.sigmoid(att)
         self.sow("intermediates", "attention", att)
@@ -180,7 +181,7 @@ class DGFMBLayer(nn.Module):
         enc = encoding[:, None, None, :].astype(features.dtype) \
             if encoding.ndim == 2 else encoding
         if self.use_reduction:
-            enc = nn.Conv(red_dim, (1, 1), dtype=self.dtype,
+            enc = TConv(red_dim, (1, 1), dtype=self.dtype,
                           param_dtype=jnp.float32)(enc)
         y = jnp.concatenate([gap, enc], axis=-1)
         combined = self.num_channels + red_dim
@@ -197,7 +198,7 @@ class DGFMBLayer(nn.Module):
                     sizes.append(self.num_channels // multiplier)
                 multiplier -= 1
         for out_ch in sizes:
-            y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+            y = TConv(out_ch, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(y)
         att = nn.sigmoid(y)
         self.sow("intermediates", "attention", att)
@@ -211,10 +212,10 @@ class PALayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.channel // 8, (1, 1), dtype=self.dtype,
+        y = TConv(self.channel // 8, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         y = nn.relu(y)
-        y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = TConv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(y)
         return x * nn.sigmoid(y)
 
 
@@ -228,13 +229,13 @@ class SFTLayer(nn.Module):
     @nn.compact
     def __call__(self, x, meta_maps):
         cond = jnp.concatenate([x, meta_maps.astype(x.dtype)], axis=-1)
-        scale = nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+        scale = TConv(self.nf, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(nn.leaky_relu(
-                            nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+                            TConv(self.nf, (1, 1), dtype=self.dtype,
                                     param_dtype=jnp.float32)(cond), 0.1))
-        shift = nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+        shift = TConv(self.nf, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(nn.leaky_relu(
-                            nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+                            TConv(self.nf, (1, 1), dtype=self.dtype,
                                     param_dtype=jnp.float32)(cond), 0.1))
         return x * (scale + 1.0) + shift
 
@@ -250,7 +251,7 @@ class QCALayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attributes):
-        conv = lambda ch: nn.Conv(ch, (1, 1), dtype=self.dtype,
+        conv = lambda ch: TConv(ch, (1, 1), dtype=self.dtype,
                                   param_dtype=jnp.float32)
         red = max(1, self.channel // self.reduction)
         y = jnp.mean(x, axis=(1, 2), keepdims=True)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TConv
 import jax.numpy as jnp
 
 from rumpy_tpu.models.base import BaseHandler
@@ -29,7 +31,7 @@ class ConvStack(nn.Module):
         depth = len(self.kernel_pattern)
         for i, (k, c_out) in enumerate(zip(self.kernel_pattern,
                                            self.channel_pattern[1:])):
-            x = nn.Conv(c_out, (k, k), dtype=self.dtype,
+            x = TConv(c_out, (k, k), dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
             if i != depth - 1:
                 x = nn.relu(x)

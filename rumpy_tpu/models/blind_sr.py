@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TDense
 import jax
 import jax.numpy as jnp
 import optax
@@ -42,7 +44,7 @@ class EncodingReducer(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, size in enumerate(self.layer_sizes):
-            x = nn.Dense(size, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = TDense(size, dtype=self.dtype, param_dtype=jnp.float32)(x)
             if i != len(self.layer_sizes) - 1:
                 x = nn.leaky_relu(x, 0.1)
         return x

@@ -42,6 +42,49 @@ def pixel_unshuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return x.reshape(n, h // scale, w // scale, c * scale * scale)
 
 
+# torch nn.Conv2d / nn.Linear DEFAULT initialization:
+# kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)), i.e. uniform
+# variance-scaling with scale 1/3. The reference's networks train from
+# torch defaults (only RRDB overrides, via default_init_weights) — with
+# flax's lecun_normal (3x the variance) RCAN's 200-conv residual trunk
+# amplifies activations exponentially with depth: |out| at init measured
+# 1.3e8 for the full 10-group model vs 0.8 for the torch reference.
+TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                     "uniform")
+# kaiming_normal scaled by 0.1 (BasicSR default_init_weights(scale=0.1),
+# generators.py:40-59): std = 0.1 * sqrt(2 / fan_in).
+RRDB_KERNEL_INIT = nn.initializers.variance_scaling(0.02, "fan_in",
+                                                    "normal")
+# kaiming_normal a=0 fan_in (reference initialize_weights(scale=1),
+# manet/architectures.py:9-26, DCLS.py:258).
+HE_NORMAL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# normal(0, sqrt(2/(k*k*out_ch))) — he-normal over fan_out (reference
+# waveletnets/architectures.py:241-247).
+HE_FANOUT_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# trunc_normal(std=.02) for transformer Dense layers (reference
+# swinIR/architectures.py trunc_normal_ via timm).
+TRUNC_NORMAL_INIT = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class TConv(nn.Conv):
+    """nn.Conv with the torch default kernel init (bias stays zeros — the
+    torch U(+-1/sqrt(fan_in)) bias draw is a ~0.04-bound perturbation
+    with no effect on trainability; documented deviation)."""
+    kernel_init: Any = TORCH_KERNEL_INIT
+
+
+class TDense(nn.Dense):
+    """nn.Dense with the torch default kernel init."""
+    kernel_init: Any = TORCH_KERNEL_INIT
+
+
+class TConvTranspose(nn.ConvTranspose):
+    """nn.ConvTranspose with the torch default kernel init (torch computes
+    the bound from the transposed fan; the O(1) scale is what matters for
+    trainability — documented deviation)."""
+    kernel_init: Any = TORCH_KERNEL_INIT
+
+
 class Conv(nn.Module):
     """3x3-ish conv with 'SAME' padding — the zoo's default_conv."""
     features: int
@@ -51,9 +94,9 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                       use_bias=self.use_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32)(x)
+        return TConv(self.features, (self.kernel_size, self.kernel_size),
+                     use_bias=self.use_bias, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
 
 
 class MeanShift(nn.Module):
@@ -121,11 +164,11 @@ class CALayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = nn.Conv(max(1, self.features // self.reduction), (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32)(y)
+        y = TConv(max(1, self.features // self.reduction), (1, 1), dtype=self.dtype,
+                  param_dtype=jnp.float32)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32)(y)
+        y = TConv(self.features, (1, 1), dtype=self.dtype,
+                  param_dtype=jnp.float32)(y)
         y = nn.sigmoid(y)
         return x * y
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TConv, TDense
 import jax
 import jax.numpy as jnp
 import optax
@@ -45,26 +47,26 @@ class DASREncoder(nn.Module):
         for feats, stride in spec:
             # explicit (1,1) padding: torch Conv2d(padding=1) pads both
             # sides even at stride 2, where flax 'SAME' pads (0,1)
-            x = nn.Conv(feats, (3, 3), strides=(stride, stride),
+            x = TConv(feats, (3, 3), strides=(stride, stride),
                         padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                              dtype=self.dtype)(x)
             x = lrelu(x)
         fea = jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 256)
-        out = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32)(fea)
+        out = TDense(256, dtype=self.dtype, param_dtype=jnp.float32)(fea)
         out = lrelu(out)
-        out = nn.Dense(self.out_dim, dtype=self.dtype,
+        out = TDense(self.out_dim, dtype=self.dtype,
                        param_dtype=jnp.float32)(out)
         outputs = {"q": out}
         if self.dropdown_q is not None:
             # reference feeds the PROJECTED embedding into the dropdown
             # head (encoding_models.py:52: drop_mlp(out)), not fea
-            d = nn.Dense(64, dtype=self.dtype, param_dtype=jnp.float32)(out)
+            d = TDense(64, dtype=self.dtype, param_dtype=jnp.float32)(out)
             d = lrelu(d)
-            d = nn.Dense(32, dtype=self.dtype, param_dtype=jnp.float32)(d)
+            d = TDense(32, dtype=self.dtype, param_dtype=jnp.float32)(d)
             d = lrelu(d)
-            outputs["dropdown_q"] = nn.Dense(
+            outputs["dropdown_q"] = TDense(
                 self.dropdown_q, dtype=self.dtype,
                 param_dtype=jnp.float32)(d)
         return fea, outputs

@@ -25,12 +25,13 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import Conv, TConv, pixel_shuffle
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rumpy_tpu.models.base import BaseHandler, PIXEL_LOSSES
-from rumpy_tpu.models.common import Conv, pixel_shuffle
 from rumpy_tpu.models.gan_models import BaseGANHandler
 from rumpy_tpu.registry import register_model
 
@@ -43,10 +44,10 @@ class DANCALayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = nn.Conv(max(1, self.nf // self.reduction), (1, 1), dtype=self.dtype,
+        y = TConv(max(1, self.nf // self.reduction), (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(y)
         y = nn.leaky_relu(y, 0.2)
-        y = nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+        y = TConv(self.nf, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(y)
         return x * nn.sigmoid(y)
 
@@ -79,9 +80,9 @@ class Estimator(nn.Module):
 
     @nn.compact
     def __call__(self, sr, lr):
-        lrf = nn.Conv(self.nf // 2, (1, 1), dtype=self.dtype,
+        lrf = TConv(self.nf // 2, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(lr)
-        hrf = nn.Conv(self.nf // 2, (9, 9), strides=(self.scale, self.scale),
+        hrf = TConv(self.nf // 2, (9, 9), strides=(self.scale, self.scale),
                       padding=4, dtype=self.dtype,
                       param_dtype=jnp.float32)(sr)
         f = lrf
@@ -212,7 +213,7 @@ class EstimatorV2(nn.Module):
     def __call__(self, sr, lr, previous_kernel=None):
         lrf = Conv(self.nf // 2, 5, dtype=self.dtype)(lr)
         hk = self.scale * 4 + 1
-        hrf = nn.Conv(self.nf // 2, (hk, hk),
+        hrf = TConv(self.nf // 2, (hk, hk),
                       strides=(self.scale, self.scale),
                       padding=self.scale * 2, dtype=self.dtype,
                       param_dtype=jnp.float32)(sr)
@@ -220,7 +221,7 @@ class EstimatorV2(nn.Module):
                     dtype=self.dtype)(lrf, hrf)
         f = Conv(self.nf, 3, dtype=self.dtype)(f)
         f = jnp.mean(f, axis=(1, 2), keepdims=True)
-        f = nn.Conv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
+        f = TConv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(f)
         kernel = nn.softmax(f[:, 0, 0, :].astype(jnp.float32), axis=-1)
         if self.residual_form and previous_kernel is not None:
@@ -243,7 +244,7 @@ class RestorerV2(nn.Module):
     @nn.compact
     def __call__(self, lr, ker_code, previous_sr=None):
         f1 = Conv(self.nf, 3, dtype=self.dtype)(lr)
-        f2 = nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+        f2 = TConv(self.nf, (1, 1), dtype=self.dtype,
                      param_dtype=jnp.float32)(
             ker_code[:, None, None, :].astype(lr.dtype))
         for _ in range(self.ng):

@@ -19,12 +19,13 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import (Conv, HE_NORMAL_INIT, TConv, TDense, Upsampler)
 import jax
 import jax.numpy as jnp
 import optax
 
 from rumpy_tpu.models.base import BaseHandler, TrainState, build_optimizer
-from rumpy_tpu.models.common import Conv, Upsampler
 from rumpy_tpu.models.contrastive import DASREncoder, _normalize
 from rumpy_tpu.registry import register_model
 
@@ -45,10 +46,10 @@ class DAConv(nn.Module):
         # embedding: the reference views its (B, 64*ks*ks) prediction as
         # (B*64, 1, ks, ks) and convolves with groups=b*c (DASR.py:39-40,
         # channels fixed at 64 there); generalized to c channels here
-        k = nn.Dense(64, use_bias=False, dtype=self.dtype,
+        k = TDense(64, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32)(k_v)
         k = nn.leaky_relu(k, 0.1)
-        k = nn.Dense(c * ks * ks, use_bias=False, dtype=self.dtype,
+        k = TDense(c * ks * ks, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32)(k)
         kernels = k.reshape(b * c, ks, ks)
         pad = (ks - 1) // 2
@@ -64,14 +65,14 @@ class DAConv(nn.Module):
             feature_group_count=b * c)
         out = jnp.moveaxis(out.reshape(h, w, b, c), 2, 0)
         out = nn.leaky_relu(out, 0.1)
-        out = nn.Conv(self.channels_out, (1, 1), dtype=self.dtype,
+        out = TConv(self.channels_out, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(out)
         # branch 2: channel attention from the embedding
-        att = nn.Conv(max(1, c // self.reduction), (1, 1), use_bias=False,
+        att = TConv(max(1, c // self.reduction), (1, 1), use_bias=False,
                       dtype=self.dtype, param_dtype=jnp.float32)(
             k_v[:, None, None, :].astype(x.dtype))
         att = nn.leaky_relu(att, 0.1)
-        att = nn.Conv(self.channels_out, (1, 1), use_bias=False,
+        att = TConv(self.channels_out, (1, 1), use_bias=False,
                       dtype=self.dtype, param_dtype=jnp.float32)(att)
         return out + x * nn.sigmoid(att)
 
@@ -116,7 +117,7 @@ class DASRNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, embedding):
-        k_v = nn.Dense(64, use_bias=False, dtype=self.dtype,
+        k_v = TDense(64, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)(embedding)
         k_v = nn.leaky_relu(k_v, 0.1)
         x = Conv(self.n_feats, 3, dtype=self.dtype)(x)
@@ -330,11 +331,12 @@ class DCLSHandler(BaseHandler):
             def __call__(self, x):
                 h = x
                 for stride in (1, 2, 1, 2):
-                    h = nn.Conv(nf, (5, 5), strides=(stride, stride),
+                    h = TConv(nf, (5, 5), strides=(stride, stride),
+                              kernel_init=HE_NORMAL_INIT,
                                 dtype=dtype, param_dtype=jnp.float32)(h)
                     h = nn.leaky_relu(h, 0.2)
                 h = jnp.mean(h, axis=(1, 2))
-                logits = nn.Dense(ks * ks, dtype=dtype,
+                logits = TDense(ks * ks, dtype=dtype,
                                   param_dtype=jnp.float32)(h)
                 kernel = nn.softmax(logits, axis=-1)
                 return kernel.reshape(-1, ks, ks)

@@ -35,12 +35,13 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TConv, pixel_shuffle
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rumpy_tpu.models.base import BaseHandler, PIXEL_LOSSES
-from rumpy_tpu.models.common import pixel_shuffle
 from rumpy_tpu.models.face_attribute_gans import PRelu, TorchConvTranspose
 from rumpy_tpu.registry import register_model
 
@@ -67,7 +68,7 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = (self.kernel - 1) // 2 if self.valid_padding else self.padding
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
+        x = TConv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)),
                     feature_group_count=self.groups,
@@ -109,16 +110,16 @@ class ResidualBlockHG(nn.Module):
     @nn.compact
     def __call__(self, x):
         half = self.features // 2
-        r = nn.Conv(half, (1, 1), dtype=self.dtype,
+        r = TConv(half, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="c0")(x)
         r = nn.relu(r)
-        r = nn.Conv(half, (3, 3), padding=((1, 1), (1, 1)),
+        r = TConv(half, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c1")(r)
-        r = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+        r = TConv(self.features, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="c2")(r)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+            x = TConv(self.features, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="c3_skip")(x)
         return x + r
 
@@ -190,7 +191,7 @@ class FeedbackHourGlass(nn.Module):
     def __call__(self, x, last_hidden=None):
         f = self.num_feature
         stride = 2 if self.scale == 8 else 1
-        h = nn.Conv(f // 4, (7, 7), strides=(stride, stride),
+        h = TConv(f // 4, (7, 7), strides=(stride, stride),
                     padding=((3, 3), (3, 3)), dtype=self.dtype,
                     param_dtype=jnp.float32, name="p0_conv")(x)
         h = nn.relu(h)
@@ -201,17 +202,17 @@ class FeedbackHourGlass(nn.Module):
 
         paired = jnp.concatenate(
             [h, h if last_hidden is None else last_hidden], axis=-1)
-        paired = nn.Conv(2 * f, (1, 1), dtype=self.dtype,
+        paired = TConv(2 * f, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32, name="q0_compress")(paired)
         feature = HourGlassDIC(4, 2 * f, dtype=self.dtype,
                                name="q1_hg")(paired)
 
         head = ResidualBlockHG(f, dtype=self.dtype,
                                name="q2_res")(feature[..., :f])
-        head = nn.Conv(f, (1, 1), dtype=self.dtype,
+        head = TConv(f, (1, 1), dtype=self.dtype,
                        param_dtype=jnp.float32, name="q3_lin")(head)
         head = nn.relu(head)
-        heatmap = nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype,
+        heatmap = TConv(self.num_keypoints, (1, 1), dtype=self.dtype,
                           param_dtype=jnp.float32, name="q4_pred")(head)
         return heatmap, feature[..., f:]
 

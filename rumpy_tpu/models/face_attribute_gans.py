@@ -23,6 +23,7 @@ import math
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+from rumpy_tpu.models.common import TConv as CConv, TDense as CDense
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,7 +66,7 @@ class TConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_ch, (self.kernel, self.kernel),
+        return CConv(self.out_ch, (self.kernel, self.kernel),
                        strides=(self.stride, self.stride),
                        padding=((self.pad, self.pad), (self.pad, self.pad)),
                        kernel_dilation=(self.dilation, self.dilation),
@@ -119,7 +120,7 @@ class Conv2dSame(nn.Module):
             return max((math.ceil(i / s) - 1) * s + k - i, 0)
 
         ph, pw = pad_amt(ih), pad_amt(iw)
-        return nn.Conv(self.out_ch, (k, k), strides=(s, s),
+        return CConv(self.out_ch, (k, k), strides=(s, s),
                        padding=((ph // 2, ph - ph // 2),
                                 (pw // 2, pw - pw // 2)),
                        dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -213,7 +214,7 @@ class STN(nn.Module):
             grid_hw = 64
         h = _flatten_nchw(h)
         assert h.shape[-1] == flat_dim, (h.shape, flat_dim)
-        h = nn.Dense(20, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = CDense(20, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = nn.relu(h)
         # identity-initialized affine head (zeros weight, [1,0,0,0,1,0] b)
         w = self.param("theta_w", nn.initializers.zeros, (20, 6))
@@ -322,10 +323,10 @@ class FaceSRAttributesDiscriminator(nn.Module):
         h = nn.Dropout(0.2, broadcast_dims=(1, 2),
                        deterministic=not train)(h)
         h = _flatten_nchw(h)
-        h = nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = CDense(1024, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = nn.relu(h)
         h = nn.Dropout(0.5, deterministic=not train)(h)
-        return nn.sigmoid(nn.Dense(1, dtype=self.dtype,
+        return nn.sigmoid(CDense(1, dtype=self.dtype,
                                    param_dtype=jnp.float32)(h))
 
 
@@ -376,10 +377,10 @@ class SEBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = jnp.mean(x, axis=(1, 2))
-        g = nn.Dense(max(1, self.in_feats // self.ratio), dtype=self.dtype,
+        g = CDense(max(1, self.in_feats // self.ratio), dtype=self.dtype,
                      param_dtype=jnp.float32)(g)
         g = nn.relu(g)
-        g = nn.Dense(self.in_feats, dtype=self.dtype,
+        g = CDense(self.in_feats, dtype=self.dtype,
                      param_dtype=jnp.float32)(g)
         return nn.sigmoid(g)[:, None, None, :] * x
 
@@ -458,7 +459,7 @@ class AGAGANGenerator(nn.Module):
         nf = self.n_feats
         lrelu = lambda v: nn.leaky_relu(v, 0.25)
 
-        attributes_dense = nn.Dense(768, dtype=self.dtype,
+        attributes_dense = CDense(768, dtype=self.dtype,
                                     param_dtype=jnp.float32)
 
         class _Shallow(nn.Module):
@@ -549,7 +550,7 @@ class AGAGANDiscriminator(nn.Module):
     def __call__(self, x, metadata, train: bool = False):
         nf = self.n_feats
         lrelu = lambda v: nn.leaky_relu(v, 0.25)
-        att = lrelu(nn.Dense(768, dtype=self.dtype,
+        att = lrelu(CDense(768, dtype=self.dtype,
                              param_dtype=jnp.float32)(
             metadata.astype(self.dtype)))
         att_r = att.reshape(-1, 3, 16, 16).transpose(0, 2, 3, 1)
@@ -569,9 +570,9 @@ class AGAGANDiscriminator(nn.Module):
         h = lrelu(Conv2dSame(nf * 3, 4, 2, dtype=self.dtype)(h))
         h = lrelu(TConv(nf * 3, 3, 1, 1, dtype=self.dtype)(h))
         h = _flatten_nchw(h)
-        h = nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = CDense(1024, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = nn.leaky_relu(h, 0.2)
-        return nn.sigmoid(nn.Dense(1, dtype=self.dtype,
+        return nn.sigmoid(CDense(1, dtype=self.dtype,
                                    param_dtype=jnp.float32)(h))
 
 
@@ -608,10 +609,10 @@ class FMFBlock(nn.Module):
 
         def head_out(v):
             v = _flatten_nchw(v)
-            v = nn.Dense(4 * na, dtype=self.dtype,
+            v = CDense(4 * na, dtype=self.dtype,
                          param_dtype=jnp.float32)(v)
             v = PRelu()(v)
-            return nn.Dense(na, dtype=self.dtype,
+            return CDense(na, dtype=self.dtype,
                             param_dtype=jnp.float32)(v)
 
         def enc_pool(v, kernel, pad, dilation=1, stages=2):
@@ -667,7 +668,7 @@ class FMFBlock(nn.Module):
         m0 = metadata.astype(self.dtype)
         m1 = m0
         for width in (4 * na, 8 * na, 4 * na, na):
-            m1 = nn.Dense(width, dtype=self.dtype,
+            m1 = CDense(width, dtype=self.dtype,
                           param_dtype=jnp.float32)(m1)
             if width != na:
                 m1 = PRelu()(m1)
@@ -676,7 +677,7 @@ class FMFBlock(nn.Module):
         # PReLU after first three. attributes_encoder_2:
         m2 = m0
         for width in (na // 2, na // 4, na // 2, na):
-            m2 = nn.Dense(width, dtype=self.dtype,
+            m2 = CDense(width, dtype=self.dtype,
                           param_dtype=jnp.float32)(m2)
             if width != na:
                 m2 = PRelu()(m2)
@@ -698,7 +699,7 @@ class FMFBlock(nn.Module):
         sq = TConv(1, 1, 1, 0, dtype=self.dtype)(sq)
         sq = PRelu()(sq)
         sq = _flatten_nchw(sq)
-        sq_vec = nn.Dense(4 * na, dtype=self.dtype,
+        sq_vec = CDense(4 * na, dtype=self.dtype,
                           param_dtype=jnp.float32)(sq)
         return jnp.concatenate([gap_vec, sq_vec], axis=-1)  # (B, 8A)
 
@@ -779,7 +780,7 @@ class FMFResidualDenseNet(nn.Module):
 
         upsample_block = _UpsampleBlock(self.dtype)
 
-        latent_dense = nn.Dense(16 * nf, dtype=self.dtype,
+        latent_dense = CDense(16 * nf, dtype=self.dtype,
                                 param_dtype=jnp.float32)
         adapter = [TConv(2 * nf, 3, 1, 1, dtype=self.dtype),
                    TConv(nf, 3, 1, 1, dtype=self.dtype),
@@ -840,9 +841,9 @@ class FMFDiscriminator(nn.Module):
             h = _ConvPReLU(w, dtype=self.dtype)(h)
             h = _maxpool(h)
         h = _flatten_nchw(h)
-        h = nn.Dense(8 * nf, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = CDense(8 * nf, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = PRelu()(h)
-        h = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = CDense(1, dtype=self.dtype, param_dtype=jnp.float32)(h)
         return nn.sigmoid(h) if self.use_sigmoid else h
 
 
@@ -865,9 +866,9 @@ class FMFAttributeDiscriminator(nn.Module):
                 h = _ConvPReLU(width, dtype=self.dtype)(h)
             h = _maxpool(h)
         h = _flatten_nchw(h)
-        h = nn.Dense(8 * nf, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = CDense(8 * nf, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = PRelu()(h)
-        out = nn.Dense(self.n_attributes, dtype=self.dtype,
+        out = CDense(self.n_attributes, dtype=self.dtype,
                        param_dtype=jnp.float32)(h)
         # NOTE: the reference constructs a sigmoid final_layer but its
         # forward never applies it (discriminators.py:276-279); kept

@@ -23,12 +23,13 @@ import math
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import (Conv, TConv, TConvTranspose, TDense, pixel_shuffle, pixel_unshuffle)
 import jax
 import jax.numpy as jnp
 
 from rumpy_tpu.models.attention_manipulators import ParaCALayer, QModelHandler
 from rumpy_tpu.models.base import BaseHandler
-from rumpy_tpu.models.common import Conv, pixel_shuffle, pixel_unshuffle
 from rumpy_tpu.models.gan_models import BaseGANHandler, QRealESRGANHandler
 from rumpy_tpu.registry import register_model
 
@@ -59,7 +60,7 @@ class SPConv(nn.Module):
             x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
                         mode="reflect")
         stride = 2 if self.scale == "down" else 1
-        x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+        x = TConv(self.out_ch, (self.kernel, self.kernel),
                     strides=(stride, stride), padding="VALID",
                     use_bias=self.norm in ("none", "pixel"),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -434,17 +435,17 @@ class GANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, z):
-        x = nn.Dense(self.nf * 5 * 5, dtype=self.dtype,
+        x = TDense(self.nf * 5 * 5, dtype=self.dtype,
                      param_dtype=jnp.float32)(z.astype(self.dtype))
         x = nn.leaky_relu(x, 0.2)
         x = x.reshape(-1, 5, 5, self.nf)
         for _ in range(4):
             # SAME padding = torch ConvTranspose2d(k=4, s=2, p=1) doubling
-            x = nn.ConvTranspose(self.nf, (4, 4), strides=(2, 2),
+            x = TConvTranspose(self.nf, (4, 4), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype,
                                  param_dtype=jnp.float32)(x)
             x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(3, (5, 5), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = TConv(3, (5, 5), dtype=self.dtype, param_dtype=jnp.float32)(x)
         return jnp.tanh(x.astype(jnp.float32))
 
 
@@ -457,18 +458,18 @@ class GANFaceDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.nf, (5, 5), dtype=self.dtype,
+        x = TConv(self.nf, (5, 5), dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.leaky_relu(x, 0.2)
         for _ in range(4):
-            x = nn.Conv(self.nf, (5, 5), strides=(2, 2), padding="SAME",
+            x = TConv(self.nf, (5, 5), strides=(2, 2), padding="SAME",
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                              dtype=jnp.float32)(x)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(0.4, deterministic=not train)(x)
-        x = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = TDense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
 

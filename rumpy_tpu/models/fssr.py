@@ -31,6 +31,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TConv
 import jax
 import jax.numpy as jnp
 import optax
@@ -118,19 +120,19 @@ class DSGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+        h = TConv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     param_dtype=jnp.float32, name="g00_conv")(x)
         h = _PReLU1(name="g01_act")(h)
         for i in range(self.n_res_blocks):
-            r = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
+            r = TConv(64, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"r{i:02d}a_conv")(h)
             r = _PReLU1(name=f"r{i:02d}b_act")(r)
-            r = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
+            r = TConv(64, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"r{i:02d}c_conv")(r)
             h = h + r
-        h = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+        h = TConv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     param_dtype=jnp.float32, name="z_conv")(h)
         return nn.sigmoid(h.astype(jnp.float32))
 
@@ -146,22 +148,22 @@ class DSGANDiscriminator(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.highpass:
             x = filter_high(x, self.kernel_size, include_pad=False)
-        h = nn.Conv(64, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype,
+        h = TConv(64, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype,
                     param_dtype=jnp.float32, name="d0_conv")(x)
         h = nn.leaky_relu(h, 0.2)
-        h = nn.Conv(128, (5, 5), padding=((2, 2), (2, 2)),
+        h = TConv(128, (5, 5), padding=((2, 2), (2, 2)),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="d1_conv")(h)
         h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d2_bn")(h)
         h = nn.leaky_relu(h, 0.2)
-        h = nn.Conv(256, (5, 5), padding=((2, 2), (2, 2)),
+        h = TConv(256, (5, 5), padding=((2, 2), (2, 2)),
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="d3_conv")(h)
         h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d4_bn")(h)
         h = nn.leaky_relu(h, 0.2)
-        h = nn.Conv(1, (1, 1), dtype=self.dtype,
+        h = TConv(1, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="d5_conv")(h)
         return nn.sigmoid(h.astype(jnp.float32))
 

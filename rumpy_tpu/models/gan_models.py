@@ -20,13 +20,14 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import (RRDB_KERNEL_INIT, TConv, TDense, pixel_unshuffle)
 import jax
 import jax.numpy as jnp
 import optax
 
 from rumpy_tpu.models.attention_manipulators import ParaCALayer
 from rumpy_tpu.models.base import (BaseHandler, TrainState, build_optimizer)
-from rumpy_tpu.models.common import pixel_unshuffle
 from rumpy_tpu.registry import register_model
 
 
@@ -42,8 +43,11 @@ class ResidualDenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
-        conv = lambda c: nn.Conv(c, (3, 3), dtype=self.dtype,
-                                 param_dtype=jnp.float32)
+        # default_init_weights(..., 0.1) on all 5 dense convs
+        # (reference generators.py:88)
+        conv = lambda c: TConv(c, (3, 3), dtype=self.dtype,
+                               kernel_init=RRDB_KERNEL_INIT,
+                               param_dtype=jnp.float32)
         x1 = lrelu(conv(self.gc)(x))
         x2 = lrelu(conv(self.gc)(jnp.concatenate([x, x1], -1)))
         x3 = lrelu(conv(self.gc)(jnp.concatenate([x, x1, x2], -1)))
@@ -85,7 +89,7 @@ class RRDBNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, metadata=None):
-        conv = lambda c: nn.Conv(c, (3, 3), dtype=self.dtype,
+        conv = lambda c: TConv(c, (3, 3), dtype=self.dtype,
                                  param_dtype=jnp.float32)
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         if self.scale == 2:
@@ -132,7 +136,7 @@ class VGGStyleDiscriminator128(nn.Module):
                  self.nf * 8]
         for i, f in enumerate(feats):
             stride = 2 if i % 2 == 1 else 1
-            x = nn.Conv(f, (4, 4) if stride == 2 else (3, 3),
+            x = TConv(f, (4, 4) if stride == 2 else (3, 3),
                         strides=(stride, stride), use_bias=(i == 0),
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
             if i > 0:
@@ -142,9 +146,9 @@ class VGGStyleDiscriminator128(nn.Module):
         # flatten in the torch CHW order (feat.view(n, -1) on NCHW,
         # discriminators.py:66) so converted linear1 checkpoints align
         x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
-        x = lrelu(nn.Dense(100, dtype=self.dtype,
+        x = lrelu(TDense(100, dtype=self.dtype,
                            param_dtype=jnp.float32)(x))
-        return nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return TDense(1, dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
 class UNetDiscriminatorSN(nn.Module):
@@ -159,10 +163,10 @@ class UNetDiscriminatorSN(nn.Module):
 
         def sn_conv(c, k, s):
             return nn.SpectralNorm(
-                nn.Conv(c, (k, k), strides=(s, s), dtype=self.dtype,
+                TConv(c, (k, k), strides=(s, s), dtype=self.dtype,
                         param_dtype=jnp.float32))
 
-        x0 = lrelu(nn.Conv(self.nf, (3, 3), dtype=self.dtype,
+        x0 = lrelu(TConv(self.nf, (3, 3), dtype=self.dtype,
                            param_dtype=jnp.float32)(x))
         x1 = lrelu(sn_conv(self.nf * 2, 4, 2)(x0, update_stats=train))
         x2 = lrelu(sn_conv(self.nf * 4, 4, 2)(x1, update_stats=train))
@@ -179,7 +183,7 @@ class UNetDiscriminatorSN(nn.Module):
         u1 = u1 + x0
         out = lrelu(sn_conv(self.nf, 3, 1)(u1, update_stats=train))
         out = lrelu(sn_conv(self.nf, 3, 1)(out, update_stats=train))
-        return nn.Conv(1, (3, 3), dtype=self.dtype,
+        return TConv(1, (3, 3), dtype=self.dtype,
                        param_dtype=jnp.float32)(out)
 
 

@@ -19,6 +19,8 @@ import math
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import Conv, TConv, Upsampler, pixel_shuffle
 import jax.numpy as jnp
 
 from rumpy_tpu.models.attention_manipulators import (ParaCALayer,
@@ -26,7 +28,6 @@ from rumpy_tpu.models.attention_manipulators import (ParaCALayer,
                                                      QResidualGroup)
 from rumpy_tpu.models.advanced import ResidualGroup
 from rumpy_tpu.models.base import BaseHandler
-from rumpy_tpu.models.common import Conv, Upsampler, pixel_shuffle
 from rumpy_tpu.registry import register_model
 
 
@@ -64,7 +65,7 @@ class CSAMModule(nn.Module):
         b, h, w, c = x.shape
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
         vol = x.transpose(0, 3, 1, 2)[..., None]  # (B, C, H, W, 1) NDHWC
-        conv = nn.Conv(1, (3, 3, 3), dtype=self.dtype,
+        conv = TConv(1, (3, 3, 3), dtype=self.dtype,
                        param_dtype=jnp.float32)(vol)
         attn = nn.sigmoid(conv)[..., 0].transpose(0, 2, 3, 1)  # (B,H,W,C)
         return x * (gamma * attn) + x
@@ -183,7 +184,7 @@ class ShiftConv(nn.Module):
             x[..., 4 * g:],                        # identity
         ]
         y = jnp.concatenate(parts, axis=-1)
-        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+        return TConv(self.out_channels, (1, 1), dtype=self.dtype,
                        param_dtype=jnp.float32)(y)
 
 
@@ -211,7 +212,7 @@ class GMSA(nn.Module):
     def __call__(self, x, prev_atns=None, train: bool = False):
         b, h, w, c = x.shape
         mult = 2 if self.calc_attn else 1
-        y = nn.Conv(self.channels * mult, (1, 1), dtype=self.dtype,
+        y = TConv(self.channels * mult, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         y = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(y)
         split = self.channels * mult // 3
@@ -248,7 +249,7 @@ class GMSA(nn.Module):
             ys.append(y_)
             atns.append(atn)
         out = jnp.concatenate(ys, axis=-1)
-        out = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+        out = TConv(self.channels, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(out)
         return out, (atns if self.calc_attn else prev_atns)
 
@@ -306,7 +307,7 @@ class ELAN(nn.Module):
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                         mode="reflect")
-        x = nn.Conv(self.c_elan, (3, 3), dtype=self.dtype,
+        x = TConv(self.c_elan, (3, 3), dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         res = x
         n_blocks = self.m_elan // (1 + self.n_share)
@@ -322,7 +323,7 @@ class ELAN(nn.Module):
                                   nonlinearity=True,
                                   dtype=self.dtype)(res, metadata)
         res = res + x
-        out = nn.Conv(self.colors * self.scale ** 2, (3, 3),
+        out = TConv(self.colors * self.scale ** 2, (3, 3),
                       dtype=self.dtype, param_dtype=jnp.float32)(res)
         out = pixel_shuffle(out, self.scale)
         if self.apply_mean_shift:

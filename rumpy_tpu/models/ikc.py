@@ -24,6 +24,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TConv, TDense
 import jax
 import jax.numpy as jnp
 import optax
@@ -45,7 +47,7 @@ class Predictor(nn.Module):
         strides = [1, 1, 1, 2, 1, 1]
         feats = [self.nf] * 5 + [self.code_length]
         for f, s in zip(feats, strides):
-            x = nn.Conv(f, (5, 5), strides=(s, s), dtype=self.dtype,
+            x = TConv(f, (5, 5), strides=(s, s), dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
             x = lrelu(x)
         return jnp.mean(x, axis=(1, 2))
@@ -63,21 +65,21 @@ class Corrector(nn.Module):
         x = sr
         strides = [1, 2, 1, 2, 1, 1, 1]
         for s in strides:
-            x = nn.Conv(self.nf, (5, 5), strides=(s, s), dtype=self.dtype,
+            x = TConv(self.nf, (5, 5), strides=(s, s), dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
             x = lrelu(x)
         b, h, w, _ = x.shape
-        c = lrelu(nn.Dense(self.nf, dtype=self.dtype,
+        c = lrelu(TDense(self.nf, dtype=self.dtype,
                            param_dtype=jnp.float32)(code))
-        c = lrelu(nn.Dense(self.nf, dtype=self.dtype,
+        c = lrelu(TDense(self.nf, dtype=self.dtype,
                            param_dtype=jnp.float32)(c))
         c = jnp.broadcast_to(c[:, None, None, :], (b, h, w, self.nf))
         mid = jnp.concatenate([x, c], axis=-1)
-        mid = lrelu(nn.Conv(self.nf * 2, (1, 1), dtype=self.dtype,
+        mid = lrelu(TConv(self.nf * 2, (1, 1), dtype=self.dtype,
                             param_dtype=jnp.float32)(mid))
-        mid = lrelu(nn.Conv(self.nf, (1, 1), dtype=self.dtype,
+        mid = lrelu(TConv(self.nf, (1, 1), dtype=self.dtype,
                             param_dtype=jnp.float32)(mid))
-        mid = nn.Conv(self.code_length, (1, 1), dtype=self.dtype,
+        mid = TConv(self.code_length, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32)(mid)
         delta = jnp.mean(mid, axis=(1, 2))
         return delta + code

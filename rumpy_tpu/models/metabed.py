@@ -19,13 +19,14 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import Conv, TConv, Upsampler
 import jax
 import jax.numpy as jnp
 
 from rumpy_tpu.models.attention_manipulators import (
     DGFMBLayer, ParaCALayer, QModelHandler, ResPipesCALayer,
     ResPipesSplitCALayer, SFTLayer)
-from rumpy_tpu.models.common import Conv, Upsampler
 from rumpy_tpu.models.gan_models import BaseGANHandler
 from rumpy_tpu.registry import register_model
 
@@ -102,7 +103,7 @@ class MetadataEncoder(nn.Module):
             if metadata.ndim == 2 else metadata
         sizes = list(self.encoder_layers_sizes or [36, 24])
         for out_ch in sizes + [self.num_bottleneck_nodes]:
-            y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+            y = TConv(out_ch, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(y)
             y = nn.relu(y)
         return y[:, 0, 0, :].astype(jnp.float32)
@@ -121,7 +122,7 @@ class MetadataDecoder(nn.Module):
             if enc.ndim == 2 else enc
         sizes = list(self.decoder_layers_sizes or [24, 36])
         for out_ch in sizes + [self.output_para]:
-            y = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+            y = TConv(out_ch, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(y)
             y = nn.relu(y)
         return y[:, 0, 0, :].astype(jnp.float32)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import TConv, TConvTranspose, TDense
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,19 +76,19 @@ class BasicNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(6, (5, 5), padding="VALID", dtype=self.dtype,
+        x = TConv(6, (5, 5), padding="VALID", dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.max_pool(nn.relu(x), (2, 2), strides=(2, 2))
-        x = nn.Conv(16, (5, 5), padding="VALID", dtype=self.dtype,
+        x = TConv(16, (5, 5), padding="VALID", dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.max_pool(nn.relu(x), (2, 2), strides=(2, 2))
         x = adaptive_avg_pool(x, 5)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(120, dtype=self.dtype,
+        x = nn.relu(TDense(120, dtype=self.dtype,
                              param_dtype=jnp.float32)(x))
-        x = nn.relu(nn.Dense(84, dtype=self.dtype,
+        x = nn.relu(TDense(84, dtype=self.dtype,
                              param_dtype=jnp.float32)(x))
-        return nn.Dense(self.output_size, dtype=self.dtype,
+        return TDense(self.output_size, dtype=self.dtype,
                         param_dtype=jnp.float32)(x).astype(jnp.float32)
 
 
@@ -102,30 +104,30 @@ class _ResBlock(nn.Module):
                                     dtype=jnp.float32)
         residual = x
         if self.bottleneck:
-            y = nn.Conv(self.filters, (1, 1), use_bias=False,
+            y = TConv(self.filters, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
             y = nn.relu(norm()(y))
-            y = nn.Conv(self.filters, (3, 3),
+            y = TConv(self.filters, (3, 3),
                         strides=(self.strides, self.strides),
                         use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32)(y)
             y = nn.relu(norm()(y))
-            y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+            y = TConv(self.filters * 4, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32)(y)
             y = norm()(y)
             out_ch = self.filters * 4
         else:
-            y = nn.Conv(self.filters, (3, 3),
+            y = TConv(self.filters, (3, 3),
                         strides=(self.strides, self.strides),
                         use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
             y = nn.relu(norm()(y))
-            y = nn.Conv(self.filters, (3, 3), use_bias=False,
+            y = TConv(self.filters, (3, 3), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32)(y)
             y = norm()(y)
             out_ch = self.filters
         if residual.shape[-1] != out_ch or self.strides != 1:
-            residual = nn.Conv(out_ch, (1, 1),
+            residual = TConv(out_ch, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, dtype=self.dtype,
                                param_dtype=jnp.float32)(residual)
@@ -146,7 +148,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding=3,
+        x = TConv(self.width, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.relu(nn.BatchNorm(momentum=0.9, use_running_average=not train,
@@ -159,7 +161,7 @@ class ResNet(nn.Module):
                               bottleneck=self.bottleneck,
                               dtype=self.dtype)(x, train=train)
         x = x.mean(axis=(1, 2))
-        x = nn.Dense(self.output_size, dtype=self.dtype,
+        x = TDense(self.output_size, dtype=self.dtype,
                      param_dtype=jnp.float32)(x).astype(jnp.float32)
         if self.add_softmax:
             x = selective_softmax(x, self.softmax_range)
@@ -181,7 +183,7 @@ class DenseNet(nn.Module):
     def __call__(self, x, train: bool = False):
         norm = lambda: nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=jnp.float32)
-        x = nn.Conv(self.init_features, (7, 7), strides=(2, 2), padding=3,
+        x = TConv(self.init_features, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.relu(norm()(x))
@@ -189,19 +191,19 @@ class DenseNet(nn.Module):
         for bi, layers in enumerate(self.block_config):
             for _ in range(layers):
                 y = nn.relu(norm()(x))
-                y = nn.Conv(4 * self.growth_rate, (1, 1), use_bias=False,
+                y = TConv(4 * self.growth_rate, (1, 1), use_bias=False,
                             dtype=self.dtype, param_dtype=jnp.float32)(y)
                 y = nn.relu(norm()(y))
-                y = nn.Conv(self.growth_rate, (3, 3), use_bias=False,
+                y = TConv(self.growth_rate, (3, 3), use_bias=False,
                             dtype=self.dtype, param_dtype=jnp.float32)(y)
                 x = jnp.concatenate([x, y], axis=-1)
             if bi != len(self.block_config) - 1:
                 x = nn.relu(norm()(x))
-                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
+                x = TConv(x.shape[-1] // 2, (1, 1), use_bias=False,
                             dtype=self.dtype, param_dtype=jnp.float32)(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = nn.relu(norm()(x)).mean(axis=(1, 2))
-        x = nn.Dense(self.output_size, dtype=self.dtype,
+        x = TDense(self.output_size, dtype=self.dtype,
                      param_dtype=jnp.float32)(x).astype(jnp.float32)
         if self.add_softmax:
             x = jax.nn.softmax(x, axis=1)
@@ -223,22 +225,22 @@ class _MBConv(nn.Module):
         inp = x.shape[-1]
         y = x
         if self.expand != 1:
-            y = nn.Conv(inp * self.expand, (1, 1), use_bias=False,
+            y = TConv(inp * self.expand, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32)(y)
             y = nn.silu(norm()(y))
-        y = nn.Conv(y.shape[-1], (self.kernel, self.kernel),
+        y = TConv(y.shape[-1], (self.kernel, self.kernel),
                     strides=(self.strides, self.strides),
                     feature_group_count=y.shape[-1], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.silu(norm()(y))
         se = max(1, int(inp * self.se_ratio))
         s = y.mean(axis=(1, 2), keepdims=True)
-        s = nn.silu(nn.Conv(se, (1, 1), dtype=self.dtype,
+        s = nn.silu(TConv(se, (1, 1), dtype=self.dtype,
                             param_dtype=jnp.float32)(s))
-        s = nn.sigmoid(nn.Conv(y.shape[-1], (1, 1), dtype=self.dtype,
+        s = nn.sigmoid(TConv(y.shape[-1], (1, 1), dtype=self.dtype,
                                param_dtype=jnp.float32)(s))
         y = y * s
-        y = nn.Conv(self.filters, (1, 1), use_bias=False,
+        y = TConv(self.filters, (1, 1), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = norm()(y)
         if self.strides == 1 and inp == self.filters:
@@ -266,7 +268,7 @@ class EfficientNet(nn.Module):
 
         norm = lambda: nn.BatchNorm(momentum=0.9, use_running_average=not train,
                                     dtype=jnp.float32)
-        x = nn.Conv(w(32), (3, 3), strides=(2, 2), use_bias=False,
+        x = TConv(w(32), (3, 3), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.silu(norm()(x))
         plan = [  # (expand, filters, repeats, strides, kernel)
@@ -278,10 +280,10 @@ class EfficientNet(nn.Module):
                 x = _MBConv(w(filters), expand, kernel,
                             strides if r == 0 else 1,
                             dtype=self.dtype)(x, train=train)
-        x = nn.Conv(w(1280), (1, 1), use_bias=False, dtype=self.dtype,
+        x = TConv(w(1280), (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.silu(norm()(x)).mean(axis=(1, 2))
-        return nn.Dense(self.output_size, dtype=self.dtype,
+        return TDense(self.output_size, dtype=self.dtype,
                         param_dtype=jnp.float32)(x).astype(jnp.float32)
 
 
@@ -315,14 +317,14 @@ class MAConv(nn.Module):
         for i in range(self.split):
             rest = jnp.concatenate(parts[:i] + parts[i + 1:], axis=-1)
             rest_ch = self.in_channels - in_split[i]
-            h = nn.Conv(max(1, rest_ch // self.reduction), (1, 1),
+            h = TConv(max(1, rest_ch // self.reduction), (1, 1),
                         dtype=self.dtype, param_dtype=jnp.float32)(rest)
             h = nn.relu(h)
-            h = nn.Conv(in_split[i] * 2, (1, 1), dtype=self.dtype,
+            h = TConv(in_split[i] * 2, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32)(h)
             scale, translation = jnp.split(h, 2, axis=-1)
             mod = parts[i] * nn.sigmoid(scale) + translation
-            outputs.append(nn.Conv(out_split[i],
+            outputs.append(TConv(out_split[i],
                                    (self.kernel_size, self.kernel_size),
                                    dtype=self.dtype,
                                    param_dtype=jnp.float32)(mod))
@@ -363,22 +365,22 @@ class MANet(nn.Module):
         pad_r = (-w) % 8
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
                     mode="edge")
-        x1 = nn.Conv(self.nc[0], (3, 3), dtype=self.dtype,
+        x1 = TConv(self.nc[0], (3, 3), dtype=self.dtype,
                      param_dtype=jnp.float32)(x)
         y = x1
         for _ in range(self.nb):
             y = MABlock(self.nc[0], self.split, dtype=self.dtype)(y)
-        x2 = nn.Conv(self.nc[1], (2, 2), strides=(2, 2), padding="VALID",
+        x2 = TConv(self.nc[1], (2, 2), strides=(2, 2), padding="VALID",
                      dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = x2
         for _ in range(self.nb):
             y = MABlock(self.nc[1], self.split, dtype=self.dtype)(y)
-        y = nn.ConvTranspose(self.nc[0], (2, 2), strides=(2, 2),
+        y = TConvTranspose(self.nc[0], (2, 2), strides=(2, 2),
                              dtype=self.dtype,
                              param_dtype=jnp.float32)(y + x2)
         for _ in range(self.nb):
             y = MABlock(self.nc[0], self.split, dtype=self.dtype)(y)
-        y = nn.Conv(self.kernel_size ** 2, (3, 3), dtype=self.dtype,
+        y = TConv(self.kernel_size ** 2, (3, 3), dtype=self.dtype,
                     param_dtype=jnp.float32)(y + x1)
         y = y[:, :h, :w, :]
         y = jax.nn.softmax(y.astype(jnp.float32), axis=-1)

@@ -15,12 +15,13 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import Conv, TConv, Upsampler
 import jax
 import jax.numpy as jnp
 
 from rumpy_tpu.models.attention_manipulators import ParaCALayer, QModelHandler
 from rumpy_tpu.models.base import BaseHandler
-from rumpy_tpu.models.common import Conv, Upsampler
 from rumpy_tpu.ops.tiling import forward_chop
 from rumpy_tpu.registry import register_model
 
@@ -59,10 +60,10 @@ class SOCA(nn.Module):
         cov_sqrt = _cov_sqrt(flat)
         # mean over rows -> (B, C) channel statistic
         stat = jnp.mean(cov_sqrt, axis=1)[:, None, None, :].astype(x.dtype)
-        y = nn.Conv(max(1, self.channel // self.reduction), (1, 1),
+        y = TConv(max(1, self.channel // self.reduction), (1, 1),
                     dtype=self.dtype, param_dtype=jnp.float32)(stat)
         y = nn.relu(y)
-        y = nn.Conv(self.channel, (1, 1), dtype=self.dtype,
+        y = TConv(self.channel, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(y)
         return x * nn.sigmoid(y)
 
@@ -84,7 +85,7 @@ class NonLocalBlock2D(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         n = h * w
-        conv1 = lambda ch: nn.Conv(ch, (1, 1), dtype=self.dtype,
+        conv1 = lambda ch: TConv(ch, (1, 1), dtype=self.dtype,
                                    param_dtype=jnp.float32)
         g_conv = conv1(self.inter_channels)
         w_conv = conv1(self.in_channels)

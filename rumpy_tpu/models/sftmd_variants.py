@@ -12,10 +12,11 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import Conv, TConv, pixel_shuffle
 import jax.numpy as jnp
 
 from rumpy_tpu.models.attention_manipulators import ParaCALayer, QModelHandler
-from rumpy_tpu.models.common import Conv, pixel_shuffle
 from rumpy_tpu.registry import register_model
 
 
@@ -166,7 +167,7 @@ class SFTMD(nn.Module):
             fea = Conv(self.num_features * self.scale ** 2, 3,
                        dtype=self.dtype)(fea)
             fea = nn.leaky_relu(pixel_shuffle(fea, self.scale), 0.2)
-        out = nn.Conv(self.out_nc, (9, 9), padding=4, dtype=self.dtype,
+        out = TConv(self.out_nc, (9, 9), padding=4, dtype=self.dtype,
                       param_dtype=jnp.float32)(fea)
         return jnp.clip(out, 0.0, 1.0)
 

@@ -20,8 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from rumpy_tpu.models.base import BaseHandler
-from rumpy_tpu.models.common import Conv, Upsampler
+from rumpy_tpu.models.common import (Conv, TRUNC_NORMAL_INIT, TDense,
+                                     Upsampler)
 from rumpy_tpu.registry import register_model
+
+
+class SDense(TDense):
+    """SwinIR Dense: trunc_normal(std=.02) like the reference's
+    _init_weights on nn.Linear (swinIR/architectures.py)."""
+    kernel_init: object = TRUNC_NORMAL_INIT
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:
@@ -45,7 +52,7 @@ class WindowAttention(nn.Module):
         b_, n, c = x.shape
         ws = self.window_size
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype,
+        qkv = SDense(self.dim * 3, dtype=self.dtype,
                        param_dtype=jnp.float32)(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -65,7 +72,7 @@ class WindowAttention(nn.Module):
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype,
+        return SDense(self.dim, dtype=self.dtype,
                         param_dtype=jnp.float32)(out)
 
 
@@ -99,10 +106,10 @@ class SwinBlock(nn.Module):
         x = shortcut + x
         # MLP
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+        y = SDense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.dim, dtype=self.dtype,
+        y = SDense(self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
         return x + y
 

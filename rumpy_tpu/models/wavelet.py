@@ -47,6 +47,8 @@ from functools import lru_cache
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from rumpy_tpu.models.common import HE_FANOUT_INIT, TConv
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,6 +136,13 @@ def loss_textures(x, y, nc=3, alpha=1.2, margin=0.0):
 # Architecture
 # ---------------------------------------------------------------------------
 
+
+class WConv(TConv):
+    """Generator conv with the reference WaveletSRNet init: normal(0,
+    sqrt(2/(k*k*out_ch))) over every generator conv (architectures.py:241-247).
+    The discriminator keeps torch defaults, as in the reference."""
+    kernel_init: object = HE_FANOUT_INIT
+
 class _ResidualBlockW(nn.Module):
     """architectures.py:115-140 _Residual_Block: 1x1 expand skip when
     channels change, two BN'd 3x3 convs (optionally grouped), second ReLU
@@ -146,20 +155,20 @@ class _ResidualBlockW(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.in_ch != self.out_ch:
-            identity = nn.Conv(self.out_ch, (1, 1), use_bias=False,
+            identity = WConv(self.out_ch, (1, 1), use_bias=False,
                                dtype=self.dtype,
                                param_dtype=jnp.float32,
                                name="c0_skip")(x)
         else:
             identity = x
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+        h = WConv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c1_conv")(x)
         h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="c2_bn")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+        h = WConv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c3_conv")(h)
@@ -177,16 +186,16 @@ class _InterimBlockW(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        identity = nn.Conv(self.out_ch, (1, 1), use_bias=False,
+        identity = WConv(self.out_ch, (1, 1), use_bias=False,
                            dtype=self.dtype, param_dtype=jnp.float32,
                            name="c0_skip")(x)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+        h = WConv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="c1_conv")(x)
         h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="c2_bn")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+        h = WConv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="c3_conv")(h)
@@ -210,7 +219,7 @@ class WaveletSRNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, return_wavelets: bool = False):
         levels = int(math.log2(self.scale))
-        f = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+        f = WConv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="a00_conv")(x)
         f = nn.BatchNorm(momentum=0.9, use_running_average=not train,
@@ -237,7 +246,7 @@ class WaveletSRNet(nn.Module):
             h = _ResidualBlockW(wc * g, wc * 2 * g, groups=g,
                                 dtype=self.dtype,
                                 name=f"h{level}b_res")(h, train)
-            h = nn.Conv(3 * g, (3, 3), padding=((1, 1), (1, 1)),
+            h = WConv(3 * g, (3, 3), padding=((1, 1), (1, 1)),
                         feature_group_count=g, dtype=self.dtype,
                         param_dtype=jnp.float32,
                         name=f"h{level}c_pred")(h)
@@ -262,14 +271,14 @@ class WaveletDiscriminator(nn.Module):
         wc = int(4 ** operator)
         interim = 32 * wc
         end_c = 256
-        h = nn.Conv(interim, (3, 3), strides=(2, 2),
+        h = TConv(interim, (3, 3), strides=(2, 2),
                     padding=((1, 1), (1, 1)), feature_group_count=wc,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="d0_conv")(x)
         h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
                          dtype=jnp.float32, name="d1_bn")(h)
         h = nn.leaky_relu(h, 0.01)
-        h = nn.Conv(end_c * wc, (3, 3), padding=((1, 1), (1, 1)),
+        h = TConv(end_c * wc, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=wc, dtype=self.dtype,
                     param_dtype=jnp.float32, name="d2_conv")(h)
         h = nn.BatchNorm(momentum=0.9, use_running_average=not train,
@@ -277,7 +286,7 @@ class WaveletDiscriminator(nn.Module):
         h = nn.leaky_relu(h, 0.01)
         n, hh, ww, _ = h.shape
         h = h.reshape(n, hh, ww, -1, end_c).sum(axis=3)
-        return nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
+        return TConv(1, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, param_dtype=jnp.float32,
                        name="d4_pred")(h)
 
