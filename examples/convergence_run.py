@@ -25,6 +25,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 HR_SOURCES = [
     "/root/reference/Data/example_data/Set5/hr",
     "/root/reference/automated_testing/image_tools_tests/hr_examples",
@@ -53,8 +55,43 @@ def stage_data(workdir: str, copies: int) -> str:
     return hr_dir
 
 
+# The reference's shipped Set5 blind set (lr_random_blur) carries ONLY a
+# 10-component PCA blur-kernel column + its pca_matrix.pth — i.e. it was
+# generated with random Gaussian blur + bicubic downsample, no noise or
+# compression. "matched" trains on that same distribution so the val
+# column on the shipped set is apples-to-apples; "fullchain" is the
+# BASELINE.json config #4 chain (its matched eval set is produced by
+# examples/convergence_eval_fullchain.py instead).
+PIPELINES = {
+    "fullchain": {
+        "pipeline": [["realesrganblur", "b"], ["downsample", "d"],
+                     ["realesrgannoise", "n"], ["jpegcompress", "c"]],
+        "deg_configs": {
+            "b": {"kernel_range": [
+                "iso", "aniso", "generalized_iso", "generalized_aniso",
+                "plateau_iso", "plateau_aniso", "sinc"],
+                "kernel_size": 21, "request_kernel_metadata": True},
+            "d": {"scale": 4},
+            "n": {"gaussian_noise_sigma_range": [1, 30]},
+            "c": {"quality": 60, "random_compression": True},
+        },
+    },
+    "matched": {
+        "pipeline": [["srmdgaussianblur", "b"], ["downsample", "d"]],
+        "deg_configs": {
+            "b": {"random": True, "sig_min": 0.2, "sig_max": 4.0,
+                  "rate_iso": 0.5, "kernel_size": 21,
+                  "request_kernel_metadata": True},
+            "d": {"scale": 4},
+        },
+    },
+}
+
+
 def write_config(workdir: str, hr_dir: str, epochs: int,
-                 bobw: bool) -> str:
+                 bobw: bool, smoke: bool = False,
+                 pipeline: str = "fullchain", batch: int = 16,
+                 milestones=None) -> str:
     from rumpy_tpu.config.loader import dump_toml
     model = {
         "name": "contrastiveblindqrcan" if bobw else "rcan",
@@ -63,13 +100,23 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
             "n_resblocks": 20, "dtype": "bf16",
         },
     }
+    if milestones:
+        model["internal_params"]["scheduler"] = "multi_step_lr"
+        model["internal_params"]["scheduler_params"] = {
+            "milestones": list(milestones), "gamma": 0.5}
+    if smoke:  # tiny net: validates the harness plumbing, not convergence
+        model["internal_params"].update(
+            n_feats=16, n_resgroups=2, n_resblocks=2, dtype="f32")
     if bobw:
         # config #5: frozen random-init DASR encoder feeding QRCAN
         # (the shipped predictor checkpoints are not in this image;
         # the demonstration is that the JOINT pipeline trains)
         model["internal_params"]["block_encoder_loading"] = True
+    exp = "convergence_bobw" if bobw else "convergence_rcan"
+    if pipeline != "fullchain":
+        exp += f"_{pipeline}"
     cfg = {
-        "experiment": "convergence_bobw" if bobw else "convergence_rcan",
+        "experiment": exp,
         "experiment_save_loc": os.path.join(workdir, "Results"),
         "data": {
             "scale": 4,
@@ -78,26 +125,11 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
             "training_sets": {"data_1": {"hr_dir": hr_dir}},
             "eval_sets": {"data_1": {"lr_dir": EVAL_LR, "hr_dir": EVAL_HR,
                                      "metadata_file": "on_site"}},
-            "online_degradations": {
-                "pipeline": [["realesrganblur", "b"], ["downsample", "d"],
-                             ["realesrgannoise", "n"],
-                             ["jpegcompress", "c"]],
-                "deg_configs": {
-                    "b": {"kernel_range": [
-                        "iso", "aniso", "generalized_iso",
-                        "generalized_aniso", "plateau_iso",
-                        "plateau_aniso", "sinc"],
-                        "kernel_size": 21,
-                        "request_kernel_metadata": True},
-                    "d": {"scale": 4},
-                    "n": {"gaussian_noise_sigma_range": [1, 30]},
-                    "c": {"quality": 60, "random_compression": True},
-                },
-            },
+            "online_degradations": PIPELINES[pipeline],
         },
         "training": {
             "num_epochs": epochs,
-            "batch_size": 16,
+            "batch_size": batch,
             "seed": 0,
             "metrics": ["PSNR"],
         },
@@ -144,13 +176,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--copies", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--pipeline", choices=sorted(PIPELINES),
+                    default="fullchain")
+    ap.add_argument("--milestones", default=None,
+                    help="comma-separated optimizer-step milestones for a "
+                         "gamma=0.5 multi_step_lr schedule")
     ap.add_argument("--bobw", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--workdir", default="/tmp/rumpy_convergence")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     hr_dir = stage_data(args.workdir, args.copies)
-    cfg = write_config(args.workdir, hr_dir, args.epochs, args.bobw)
+    milestones = ([int(m) for m in args.milestones.split(",")]
+                  if args.milestones else None)
+    cfg = write_config(args.workdir, hr_dir, args.epochs, args.bobw,
+                       smoke=args.smoke, pipeline=args.pipeline,
+                       batch=args.batch, milestones=milestones)
 
     bic = bicubic_baseline()
     print(f"bicubic x4 Y-PSNR on the blind Set5 eval set: {bic:.3f} dB")
@@ -164,6 +207,8 @@ def main():
 
     import pandas as pd
     exp = "convergence_bobw" if args.bobw else "convergence_rcan"
+    if args.pipeline != "fullchain":
+        exp += f"_{args.pipeline}"
     summary = os.path.join(args.workdir, "Results", exp, "result_outputs",
                            "summary.csv")
     df = pd.read_csv(summary)
