@@ -140,7 +140,10 @@ def _secondary_metrics(pipe, scale):
     # BoBW flagship: frozen-encoder ContrastiveBlindQRCAN (config #5) —
     # E(lr) embedding -> QRCAN(x, embedding), full-size generator, same
     # fused on-device degradation chain.
-    batch, lr_patch = 64, 48
+    # step time is near-flat from batch 64 (310 ms) to 96 (324 ms) —
+    # same conv-tiling pattern as RCAN — and batch 120 spills HBM, so
+    # 96 is the best BoBW operating point (measured round 3).
+    batch, lr_patch = 96, 48
     hr_patch = lr_patch * scale
     bobw = get_model("contrastiveblindqrcan")(
         scale=scale, n_feats=64, n_resgroups=10, n_resblocks=20,

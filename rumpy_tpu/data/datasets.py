@@ -423,7 +423,13 @@ class VideoSequenceImages(SuperResImages):
     ('center' | index). Frame ordering follows the sorted listing; clips
     are consecutive windows within it."""
 
-    def __init__(self, num_frames: int = 5, hr_selection="center", **kwargs):
+    def __init__(self, num_frames: int = 5, hr_selection="center",
+                 use_masks: bool = False, **kwargs):
+        # reference shorthand (data_handler.py:676-680): use_masks=True
+        # reads 'uvtex_mask.png' from the HR directory as the loss mask
+        if use_masks:
+            kwargs.setdefault("mask_data", kwargs.get("hr_dir"))
+            kwargs.setdefault("custom_mask_name", "uvtex_mask.png")
         super().__init__(**kwargs)
         self.num_frames = num_frames
         self.hr_selection = (num_frames // 2 if hr_selection == "center"

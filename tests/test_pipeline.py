@@ -253,6 +253,18 @@ def test_dataset_uvtex_masks(tmp_path, rng):
     assert item["lr"].shape[-1] == 9
     assert item["mask"].shape == item["hr"].shape
 
+    # use_masks=True shorthand (data_handler.py:676-680): reads the
+    # fixed-name 'uvtex_mask.png' from the HR directory
+    uv = np.zeros((32, 32, 3), np.uint8)
+    uv[:, :16] = 255
+    Image.fromarray(uv).save(hr_dir / "uvtex_mask.png")
+    # the mask file itself must not be picked up as an HR frame
+    vsr_uv = VideoSequenceImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir),
+                                 scale=2, num_frames=3, use_masks=True)
+    item = vsr_uv[0]
+    assert item["mask"].shape == item["hr"].shape
+    np.testing.assert_array_equal(np.unique(item["mask"]), [0.0, 1.0])
+
 
 def test_online_degradation_pads_undersized_images(tmp_path, rng):
     """Images smaller than crop*scale reflect-pad up to the patch size in
