@@ -8,12 +8,13 @@
 //                        (INT32 fixed point, 22 fractional bits), used by
 //                        offline datagen when JAX dispatch overhead would
 //                        dominate (thousands of small images);
-//   * h264_intra_u8    — JM-style pure-intra H.264 approximation on
-//                        YUV 4:2:0 (BT.601 conversion, chroma subsample,
-//                        8x8 DCT, QP-derived flat quantization, IDCT,
-//                        upsample, back to RGB). Unlike the on-device
-//                        4:4:4 DCT codec, this includes the chroma
-//                        subsampling the JM pipeline applies;
+//   * h264_intra_u8    — H.264 intra toolchain on YUV 4:2:0 (BT.601
+//                        conversion, chroma subsample, macroblock-order
+//                        Intra_4x4/Intra_16x16 with RD mode decision,
+//                        spec integer transform/quant/DC-Hadamard,
+//                        in-loop deblocking, back to RGB). Unlike the
+//                        on-device 4:4:4 DCT codec, this includes the
+//                        chroma subsampling the JM pipeline applies;
 //   * entropy_patch_u8 — local-histogram entropy + box pooling for
 //                        entropy patch selection on host workers.
 //
@@ -141,17 +142,26 @@ void pil_resize_u8(const uint8_t* src, int h, int w, int ch,
 }
 
 // ---------------------------------------------------------------------------
-// H.264 intra-frame codec (ITU-T H.264 / ISO 14496-10 toolchain):
-// 4x4 luma intra prediction (all 9 modes, SAD mode decision, causal
-// reconstruction dependency), 8x8 chroma prediction (DC/H/V/plane), the
-// 4x4 integer transform with the spec's quantization multiplier/rescale
-// tables, the 2x2 chroma-DC Hadamard stage, the chroma-QP mapping, and
-// the in-loop deblocking filter (bS=4 on macroblock edges, bS=3 on
-// internal 4x4 edges, spec alpha/beta/tc0 tables). This mirrors what the
-// JM encoder does in its IntraPeriod=1 configuration minus entropy
-// coding and RD-optimized mode decision (our mode choice is min-SAD, and
-// blocks are coded in plane raster order), so outputs are
-// distribution-faithful but not bit-exact to JM.
+// H.264 intra-frame codec (ITU-T H.264 / ISO 14496-10 toolchain),
+// mirroring the JM encoder_baseline.cfg configuration the reference
+// drives (IntraPeriod=1, RDOptimization=1, CAVLC):
+//   * macroblock raster coding order with the spec's 4x4 Z-scan inside
+//     each MB and coded-block-derived above-right availability (6.4.11);
+//   * Intra_4x4 (all 9 modes, most-probable-mode signalling cost) and
+//     Intra_16x16 (V/H/DC/plane + luma DC Hadamard stage, 8.3.3/8.5.10)
+//     chosen per MB by rate-distortion cost SSD + lambda*R with JM's
+//     lambda_mode = 0.85*2^((QP-12)/3);
+//   * one shared chroma prediction mode per MB across Cb/Cr (7.4.5),
+//     2x2 chroma-DC Hadamard, chroma-QP mapping (Table 8-15);
+//   * 4x4 integer transform with the spec quantization multiplier /
+//     rescale tables; in-loop deblocking (bS=4 on MB edges, bS=3 on
+//     internal 4x4 edges, spec alpha/beta/tc0 tables).
+// The remaining deviation from JM: the rate term R approximates CAVLC
+// (per-level ~2*log2|z|+1 bits model rather than the spec's VLC tables),
+// so mode DECISIONS can differ near cost ties; no bitstream is emitted
+// (entropy coding never changes pixels). Outputs are
+// distribution-faithful but not bit-exact to JM; set RUMPY_TPU_JM_BIN to
+// drive a real JM binary for bit-exactness.
 // ---------------------------------------------------------------------------
 
 namespace h264 {
@@ -249,39 +259,76 @@ void inv4x4(const int in[16], int out[16]) {
   }
 }
 
-// residual -> transform/quant/dequant/inverse -> reconstructed residual
-void tq4x4(const int res[16], int rec[16], int qp) {
-  int w[16], wq[16];
-  fwd4x4(res, w);
+inline int bitlen(int v) {
+  int n = 0;
+  while (v) {
+    ++n;
+    v >>= 1;
+  }
+  return n;
+}
+
+// Approximate CAVLC cost of one nonzero quantized level: the level code
+// grows ~2*log2(|z|) bits (suffix-length-adaptive Golomb family) plus
+// ~1 bit of sign/run_before overhead. Used only as the rate term of the
+// RD mode decision — no bitstream is emitted, so pixels never depend on
+// table-exact CAVLC (which is the documented deviation from JM).
+inline int level_bits(int z) { return 2 * bitlen(z < 0 ? -z : z) + 1; }
+
+// quantize transformed coeffs w[start..15] -> dequantized wq; returns the
+// approximate CAVLC bit cost of the produced levels, counts nonzeros.
+int quant_coeffs(const int w[16], int wq[16], int qp, int start,
+                 long long* nnz) {
   int qbits = 15 + qp / 6, rem = qp % 6;
   int64_t f = (1LL << qbits) / 3;  // intra rounding offset
+  int bits = 0;
   for (int i = 0; i < 4; ++i) {
     for (int j = 0; j < 4; ++j) {
       int idx = i * 4 + j;
+      if (idx < start) continue;
       int c = pos_class(i, j);
       int64_t a = std::llabs((int64_t)w[idx]);
       int z = (int)((a * kMF[rem][c] + f) >> qbits);
+      if (z) {
+        bits += level_bits(z);
+        if (nnz) ++*nnz;
+      }
       z = w[idx] < 0 ? -z : z;
       wq[idx] = (z * kV[rem][c]) << (qp / 6);  // dequant
     }
   }
+  return bits;
+}
+
+// residual -> transform/quant/dequant/inverse -> reconstructed residual;
+// returns the approximate rate of the block's levels
+int tq4x4(const int res[16], int rec[16], int qp, long long* nnz = nullptr) {
+  int w[16], wq[16];
+  fwd4x4(res, w);
+  int bits = quant_coeffs(w, wq, qp, 0, nnz);
   inv4x4(wq, rec);
+  return bits;
 }
 
 // chroma-DC side path (spec 8.5.11 order): raw DC coefficients of the 4
 // sub-blocks -> 2x2 Hadamard -> quant -> inverse Hadamard -> dequant,
 // returning the scaled DC to inject into each block's inverse transform.
-void chroma_dc(const int dc_in[4], int dc_out[4], int qp) {
+int chroma_dc(const int dc_in[4], int dc_out[4], int qp,
+              long long* nnz = nullptr) {
   int qbits = 15 + qp / 6, rem = qp % 6;
   int64_t f = (1LL << qbits) / 3;
   int had[4] = {dc_in[0] + dc_in[1] + dc_in[2] + dc_in[3],
                 dc_in[0] - dc_in[1] + dc_in[2] - dc_in[3],
                 dc_in[0] + dc_in[1] - dc_in[2] - dc_in[3],
                 dc_in[0] - dc_in[1] - dc_in[2] + dc_in[3]};
-  int zq[4];
+  int zq[4], bits = 0;
   for (int k = 0; k < 4; ++k) {
     int64_t a = std::llabs((int64_t)had[k]);
     int z = (int)((a * kMF[rem][0] + 2 * f) >> (qbits + 1));
+    if (z) {
+      bits += level_bits(z);
+      if (nnz) ++*nnz;
+    }
     zq[k] = had[k] < 0 ? -z : z;
   }
   int ih[4] = {zq[0] + zq[1] + zq[2] + zq[3], zq[0] - zq[1] + zq[2] - zq[3],
@@ -292,6 +339,7 @@ void chroma_dc(const int dc_in[4], int dc_out[4], int qp) {
     else
       dc_out[k] = (ih[k] * kV[rem][0]) >> 1;
   }
+  return bits;
 }
 
 struct Plane {
@@ -311,11 +359,16 @@ struct Nbr {
   bool has_top, has_left;
 };
 
-Nbr gather(const Plane& rec, int by, int bx) {
+// tr_ok: whether the above-right 4x4 block is already reconstructed in
+// coding order (spec 6.4.11/8.3.1: under macroblock coding order the
+// above-right neighbor of e.g. the 4th 4x4 block of an MB is NOT yet
+// coded even though it is inside the frame; the caller derives this from
+// its coded-block bitmap, which reproduces the spec availability table).
+Nbr gather(const Plane& rec, int by, int bx, bool tr_ok) {
   Nbr n;
   n.has_top = by > 0;
   n.has_left = bx > 0;
-  bool has_tr = by > 0 && bx + 4 < rec.w;
+  bool has_tr = tr_ok && by > 0 && bx + 4 < rec.w;
   for (int i = 0; i < 8; ++i) {
     int x = bx + i;
     if (i < 4)
@@ -457,34 +510,308 @@ bool predict4(const Nbr& n, int mode, int pred[16]) {
   return false;
 }
 
-// encode one plane of 4x4 intra blocks (luma path) in raster order so
-// every block predicts from already-reconstructed neighbors.
-void code_luma(Plane& rec, const std::vector<int>& src, int qp) {
-  for (int by = 0; by < rec.h; by += 4) {
-    for (int bx = 0; bx < rec.w; bx += 4) {
-      Nbr n = gather(rec, by, bx);
-      int blk[16];
-      for (int y = 0; y < 4; ++y)
-        for (int x = 0; x < 4; ++x)
-          blk[y * 4 + x] = src[(size_t)(by + y) * rec.w + bx + x];
-      int best_sad = 1 << 30, best_pred[16] = {0};
-      for (int mode = 0; mode < 9; ++mode) {
-        int pred[16];
-        if (!predict4(n, mode, pred)) continue;
-        int sad = 0;
-        for (int i = 0; i < 16; ++i) sad += std::abs(blk[i] - pred[i]);
-        if (sad < best_sad) {
-          best_sad = sad;
-          std::memcpy(best_pred, pred, sizeof(pred));
+// 16x16 luma intra prediction (spec 8.3.3): 0=V, 1=H, 2=DC, 3=plane.
+// Reads only samples OUTSIDE the macroblock (above row / left column of
+// previously coded MBs). Returns false when required neighbors are
+// unavailable.
+bool predict16(const Plane& rec, int by, int bx, int mode, int pred[256]) {
+  bool has_top = by > 0, has_left = bx > 0;
+  int t[16], l[16];
+  for (int i = 0; i < 16; ++i) {
+    t[i] = has_top ? rec.at(by - 1, std::min(bx + i, rec.w - 1)) : 0;
+    l[i] = has_left ? rec.at(std::min(by + i, rec.h - 1), bx - 1) : 0;
+  }
+  switch (mode) {
+    case 0:  // vertical
+      if (!has_top) return false;
+      for (int y = 0; y < 16; ++y)
+        for (int x = 0; x < 16; ++x) pred[y * 16 + x] = t[x];
+      return true;
+    case 1:  // horizontal
+      if (!has_left) return false;
+      for (int y = 0; y < 16; ++y)
+        for (int x = 0; x < 16; ++x) pred[y * 16 + x] = l[y];
+      return true;
+    case 2: {  // DC with the spec's availability fallbacks
+      int st = 0, sl = 0, v;
+      for (int i = 0; i < 16; ++i) {
+        st += t[i];
+        sl += l[i];
+      }
+      if (has_top && has_left)
+        v = (st + sl + 16) >> 5;
+      else if (has_top)
+        v = (st + 8) >> 4;
+      else if (has_left)
+        v = (sl + 8) >> 4;
+      else
+        v = 128;
+      for (int i = 0; i < 256; ++i) pred[i] = v;
+      return true;
+    }
+    case 3: {  // plane (spec 8.3.3.4)
+      if (!(has_top && has_left)) return false;
+      int m = rec.at(by - 1, bx - 1);
+      int H = 0, V = 0;
+      for (int i = 0; i < 8; ++i) {
+        H += (i + 1) * (t[8 + i] - (i == 7 ? m : t[6 - i]));
+        V += (i + 1) * (l[8 + i] - (i == 7 ? m : l[6 - i]));
+      }
+      int a = 16 * (l[15] + t[15]);
+      int b = (5 * H + 32) >> 6, c = (5 * V + 32) >> 6;
+      for (int y = 0; y < 16; ++y)
+        for (int x = 0; x < 16; ++x)
+          pred[y * 16 + x] =
+              clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5);
+      return true;
+    }
+  }
+  return false;
+}
+
+// 4x4 Hadamard of the 16 luma-DC terms. Forward includes the encoder's
+// /2 pre-scale (JM dct_luma_16x16 / x264 dct4x4dc); inverse is the plain
+// +-1 butterfly — together with the (qbits+1) quant shift and the
+// (spec 8.5.10) <<(qp/6-2) dequant this reconstructs DC at the same
+// scale the 4x4 inverse transform expects (verified: flat frames at QP0
+// round-trip losslessly).
+void hadamard_dc_fwd(const int in[16], int out[16]) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {
+    const int* r = &in[i * 4];
+    int s03 = r[0] + r[3], d03 = r[0] - r[3];
+    int s12 = r[1] + r[2], d12 = r[1] - r[2];
+    tmp[i * 4 + 0] = s03 + s12;
+    tmp[i * 4 + 1] = d03 + d12;
+    tmp[i * 4 + 2] = s03 - s12;
+    tmp[i * 4 + 3] = d03 - d12;
+  }
+  for (int j = 0; j < 4; ++j) {
+    int c0 = tmp[j], c1 = tmp[4 + j], c2 = tmp[8 + j], c3 = tmp[12 + j];
+    int s03 = c0 + c3, d03 = c0 - c3;
+    int s12 = c1 + c2, d12 = c1 - c2;
+    out[0 * 4 + j] = (s03 + s12) >> 1;
+    out[1 * 4 + j] = (d03 + d12) >> 1;
+    out[2 * 4 + j] = (s03 - s12) >> 1;
+    out[3 * 4 + j] = (d03 - d12) >> 1;
+  }
+}
+
+void hadamard_dc_inv(const int in[16], int out[16]) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {
+    const int* r = &in[i * 4];
+    int s03 = r[0] + r[3], d03 = r[0] - r[3];
+    int s12 = r[1] + r[2], d12 = r[1] - r[2];
+    tmp[i * 4 + 0] = s03 + s12;
+    tmp[i * 4 + 1] = d03 + d12;
+    tmp[i * 4 + 2] = s03 - s12;
+    tmp[i * 4 + 3] = d03 - d12;
+  }
+  for (int j = 0; j < 4; ++j) {
+    int c0 = tmp[j], c1 = tmp[4 + j], c2 = tmp[8 + j], c3 = tmp[12 + j];
+    int s03 = c0 + c3, d03 = c0 - c3;
+    int s12 = c1 + c2, d12 = c1 - c2;
+    out[0 * 4 + j] = s03 + s12;
+    out[1 * 4 + j] = d03 + d12;
+    out[2 * 4 + j] = s03 - s12;
+    out[3 * 4 + j] = d03 - d12;
+  }
+}
+
+// 4x4 luma blocks of an MB in the spec's coding order (6.4.3 inverse
+// 4x4 luma block scan): Z order of 8x8 quadrants, Z order inside each.
+static const int kZX[16] = {0, 4, 0, 4, 8, 12, 8, 12,
+                            0, 4, 0, 4, 8, 12, 8, 12};
+static const int kZY[16] = {0, 0, 4, 4, 0, 0, 4, 4,
+                            8, 8, 12, 12, 8, 8, 12, 12};
+
+struct LumaStats {
+  long long n_mb = 0, n_i16 = 0, nnz = 0;
+};
+
+// Encode the luma plane in macroblock raster order, mirroring the JM
+// encoder_baseline.cfg configuration the reference drives
+// (RDOptimization=1): per-MB choice between Intra_4x4 (9 modes per
+// block, most-probable-mode signalling) and Intra_16x16 (4 modes, DC
+// Hadamard stage) by rate-distortion cost SSD + lambda*R with JM's
+// lambda_mode = 0.85 * 2^((QP-12)/3). R uses the level-bits model above
+// plus the spec's mode-signalling costs (1 bit for MPM, 4 otherwise;
+// ~7 bits for the I16 mb_type) — CAVLC-table-exact rate is the one
+// remaining deviation, and it only perturbs decisions, never pixels
+// given a decision.
+void code_luma(Plane& rec, const std::vector<int>& src, int qp,
+               LumaStats* st = nullptr) {
+  int bw = rec.w / 4, bh = rec.h / 4;
+  std::vector<uint8_t> coded((size_t)bw * bh, 0);
+  std::vector<int8_t> mode4((size_t)bw * bh, 2);
+  double lambda = 0.85 * std::pow(2.0, (qp - 12) / 3.0);
+
+  for (int my = 0; my < rec.h; my += 16) {
+    for (int mx = 0; mx < rec.w; mx += 16) {
+      int mby = my / 4, mbx = mx / 4;  // MB origin in 4x4-block coords
+      uint8_t tc[16] = {0};            // trial coded flags, scan order
+      int tmodes[16];
+      auto scan_idx = [&](int lby, int lbx) {  // local 4x4 coords -> scan
+        for (int k = 0; k < 16; ++k)
+          if (kZX[k] == lbx * 4 && kZY[k] == lby * 4) return k;
+        return -1;
+      };
+      auto blk_coded = [&](int byy, int bxx) -> bool {
+        if (byy < 0 || bxx < 0 || byy >= bh || bxx >= bw) return false;
+        if (byy >= mby && byy < mby + 4 && bxx >= mbx && bxx < mbx + 4)
+          return tc[scan_idx(byy - mby, bxx - mbx)] != 0;
+        return coded[(size_t)byy * bw + bxx] != 0;
+      };
+      auto blk_mode = [&](int byy, int bxx) -> int {
+        if (byy < 0 || bxx < 0) return -1;  // outside picture
+        if (byy >= mby && byy < mby + 4 && bxx >= mbx && bxx < mbx + 4)
+          return tmodes[scan_idx(byy - mby, bxx - mbx)];
+        return mode4[(size_t)byy * bw + bxx];
+      };
+
+      // ---- Intra_4x4 trial: sequential in scan order, reconstructing
+      // into `rec` so later blocks predict from the trial reconstruction
+      double cost4 = lambda * 1.0;  // mb_type ue(0)
+      long long nnz4 = 0;
+      for (int b = 0; b < 16; ++b) {
+        int bx = mx + kZX[b], by = my + kZY[b];
+        bool tr = blk_coded(by / 4 - 1, bx / 4 + 1);
+        Nbr n = gather(rec, by, bx, tr);
+        int ml = blk_mode(by / 4, bx / 4 - 1);
+        int ma = blk_mode(by / 4 - 1, bx / 4);
+        int mpm = (ml < 0 || ma < 0) ? 2 : std::min(ml, ma);
+        int blk[16];
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            blk[y * 4 + x] = src[(size_t)(by + y) * rec.w + bx + x];
+        double best_cost = 1e30;
+        int best_mode = 2, best_rec[16] = {0};
+        long long best_nnz = 0;
+        for (int mode = 0; mode < 9; ++mode) {
+          int pred[16];
+          if (!predict4(n, mode, pred)) continue;
+          int res[16], rres[16];
+          for (int i = 0; i < 16; ++i) res[i] = blk[i] - pred[i];
+          long long nnz = 0;
+          int rbits = tq4x4(res, rres, qp, &nnz);
+          double ssd = 0;
+          int rc[16];
+          for (int i = 0; i < 16; ++i) {
+            rc[i] = clip255(pred[i] + rres[i]);
+            double d = blk[i] - rc[i];
+            ssd += d * d;
+          }
+          double cost =
+              ssd + lambda * (rbits + (mode == mpm ? 1 : 4));
+          if (cost < best_cost) {
+            best_cost = cost;
+            best_mode = mode;
+            best_nnz = nnz;
+            std::memcpy(best_rec, rc, sizeof(rc));
+          }
+        }
+        cost4 += best_cost;
+        tmodes[b] = best_mode;
+        tc[b] = 1;
+        nnz4 += best_nnz;
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            rec.at(by + y, bx + x) = (uint8_t)best_rec[y * 4 + x];
+      }
+
+      // ---- Intra_16x16 trial: reads only outside the MB, reconstructs
+      // into a scratch buffer
+      double cost16 = 1e30;
+      long long nnz16 = 0;
+      uint8_t rec16[256];
+      for (int mode = 0; mode < 4; ++mode) {
+        int pred[256];
+        if (!predict16(rec, my, mx, mode, pred)) continue;
+        int wblk[16][16], dc_raw[16];
+        for (int sb = 0; sb < 16; ++sb) {  // raster 4x4 grid for DC order
+          int oy = (sb / 4) * 4, ox = (sb % 4) * 4;
+          int res[16];
+          for (int y = 0; y < 4; ++y)
+            for (int x = 0; x < 4; ++x)
+              res[y * 4 + x] =
+                  src[(size_t)(my + oy + y) * rec.w + mx + ox + x] -
+                  pred[(oy + y) * 16 + ox + x];
+          fwd4x4(res, wblk[sb]);
+          dc_raw[sb] = wblk[sb][0];
+        }
+        // DC side path: /2 Hadamard -> quant(qbits+1) -> inverse
+        // Hadamard -> spec 8.5.10 scaling at kV scale: <<(qp/6-2)
+        int had[16], zq[16];
+        hadamard_dc_fwd(dc_raw, had);
+        int qbits = 15 + qp / 6, rem = qp % 6;
+        int64_t f = (1LL << qbits) / 3;
+        int bits = 7;  // mb_type(I16 mode+cbp class) signalling
+        long long nnz = 0;
+        for (int k = 0; k < 16; ++k) {
+          int64_t a = std::llabs((int64_t)had[k]);
+          int z = (int)((a * kMF[rem][0] + 2 * f) >> (qbits + 1));
+          if (z) {
+            bits += level_bits(z);
+            ++nnz;
+          }
+          zq[k] = had[k] < 0 ? -z : z;
+        }
+        int ih[16];
+        hadamard_dc_inv(zq, ih);
+        int shift = qp / 6;
+        double ssd = 0;
+        uint8_t trec[256];
+        for (int sb = 0; sb < 16; ++sb) {
+          int oy = (sb / 4) * 4, ox = (sb % 4) * 4;
+          int wq[16];
+          bits += quant_coeffs(wblk[sb], wq, qp, 1, &nnz);
+          int dci = ih[(sb / 4) * 4 + (sb % 4)];
+          wq[0] = shift >= 2
+                      ? (dci * kV[rem][0]) << (shift - 2)
+                      : (dci * kV[rem][0] + (1 << (1 - shift))) >>
+                            (2 - shift);
+          int rres[16];
+          inv4x4(wq, rres);
+          for (int y = 0; y < 4; ++y)
+            for (int x = 0; x < 4; ++x) {
+              int rc = clip255(pred[(oy + y) * 16 + ox + x] +
+                               rres[y * 4 + x]);
+              trec[(oy + y) * 16 + ox + x] = (uint8_t)rc;
+              double d =
+                  src[(size_t)(my + oy + y) * rec.w + mx + ox + x] - rc;
+              ssd += d * d;
+            }
+        }
+        double cost = ssd + lambda * bits;
+        if (cost < cost16) {
+          cost16 = cost;
+          nnz16 = nnz;
+          std::memcpy(rec16, trec, sizeof(trec));
         }
       }
-      int res[16], rres[16];
-      for (int i = 0; i < 16; ++i) res[i] = blk[i] - best_pred[i];
-      tq4x4(res, rres, qp);
-      for (int y = 0; y < 4; ++y)
-        for (int x = 0; x < 4; ++x)
-          rec.at(by + y, bx + x) =
-              (uint8_t)clip255(best_pred[y * 4 + x] + rres[y * 4 + x]);
+
+      // ---- MB-level decision
+      if (st) ++st->n_mb;
+      if (cost16 < cost4) {
+        if (st) {
+          ++st->n_i16;
+          st->nnz += nnz16;
+        }
+        for (int y = 0; y < 16; ++y)
+          for (int x = 0; x < 16; ++x)
+            rec.at(my + y, mx + x) = rec16[y * 16 + x];
+        for (int b = 0; b < 16; ++b)  // I16 neighbors count as DC (spec)
+          mode4[(size_t)(my / 4 + kZY[b] / 4) * bw + mx / 4 + kZX[b] / 4] =
+              2;
+      } else {
+        if (st) st->nnz += nnz4;
+        for (int b = 0; b < 16; ++b)
+          mode4[(size_t)(my / 4 + kZY[b] / 4) * bw + mx / 4 + kZX[b] / 4] =
+              (int8_t)tmodes[b];
+      }
+      for (int b = 0; b < 16; ++b)
+        coded[(size_t)(my / 4 + kZY[b] / 4) * bw + mx / 4 + kZX[b] / 4] = 1;
     }
   }
 }
@@ -552,67 +879,74 @@ void predict_chroma(const Plane& rec, int by, int bx, int mode,
   }
 }
 
-void code_chroma(Plane& rec, const std::vector<int>& src, int qp_luma) {
+// Chroma coding with ONE shared prediction mode per macroblock covering
+// BOTH planes (spec 7.4.5: intra_chroma_pred_mode is an MB-level field;
+// the previous per-plane independent choice was a JM deviation), chosen
+// by the same SSD + lambda*R criterion as luma. DC coefficients go
+// through the 2x2 Hadamard side path, AC through the normal quant.
+void code_chroma_joint(Plane& cb, Plane& cr, const std::vector<int>& scb,
+                       const std::vector<int>& scr, int qp_luma) {
   int qp = chroma_qp(qp_luma);
-  for (int by = 0; by < rec.h; by += 8) {
-    for (int bx = 0; bx < rec.w; bx += 8) {
-      int best_sad = 1 << 30, best_pred[64] = {0};
+  double lambda = 0.85 * std::pow(2.0, (qp_luma - 12) / 3.0);
+  for (int by = 0; by < cb.h; by += 8) {
+    for (int bx = 0; bx < cb.w; bx += 8) {
       bool has_top = by > 0, has_left = bx > 0;
+      double best_cost = 1e30;
+      uint8_t best_rec[2][64];
       for (int mode = 0; mode < 4; ++mode) {
         if (mode == 1 && !has_left) continue;
         if (mode == 2 && !has_top) continue;
         if (mode == 3 && !(has_top && has_left)) continue;
-        int pred[64];
-        predict_chroma(rec, by, bx, mode, pred);
-        int sad = 0;
-        for (int y = 0; y < 8; ++y)
-          for (int x = 0; x < 8; ++x)
-            sad += std::abs((int)src[(size_t)(by + y) * rec.w + bx + x] -
-                            pred[y * 8 + x]);
-        if (sad < best_sad) {
-          best_sad = sad;
-          std::memcpy(best_pred, pred, sizeof(pred));
+        double ssd = 0;
+        int bits = 3;  // ue(intra_chroma_pred_mode)
+        uint8_t trec[2][64];
+        for (int pl = 0; pl < 2; ++pl) {
+          Plane& rp = pl ? cr : cb;
+          const std::vector<int>& sp = pl ? scr : scb;
+          int pred[64];
+          predict_chroma(rp, by, bx, mode, pred);
+          int dc_raw[4], w4[4][16], res[16];
+          for (int sb = 0; sb < 4; ++sb) {
+            int oy = (sb >> 1) * 4, ox = (sb & 1) * 4;
+            for (int y = 0; y < 4; ++y)
+              for (int x = 0; x < 4; ++x)
+                res[y * 4 + x] =
+                    (int)sp[(size_t)(by + oy + y) * rp.w + bx + ox + x] -
+                    pred[(oy + y) * 8 + ox + x];
+            fwd4x4(res, w4[sb]);
+            dc_raw[sb] = w4[sb][0];
+          }
+          int dc_scaled[4];
+          bits += chroma_dc(dc_raw, dc_scaled, qp);
+          for (int sb = 0; sb < 4; ++sb) {
+            int oy = (sb >> 1) * 4, ox = (sb & 1) * 4;
+            int wq[16];
+            bits += quant_coeffs(w4[sb], wq, qp, 1, nullptr);
+            wq[0] = dc_scaled[sb];
+            int rres[16];
+            inv4x4(wq, rres);
+            for (int y = 0; y < 4; ++y)
+              for (int x = 0; x < 4; ++x) {
+                int rc = clip255(pred[(oy + y) * 8 + ox + x] +
+                                 rres[y * 4 + x]);
+                trec[pl][(oy + y) * 8 + ox + x] = (uint8_t)rc;
+                double d =
+                    sp[(size_t)(by + oy + y) * rp.w + bx + ox + x] - rc;
+                ssd += d * d;
+              }
+          }
+        }
+        double cost = ssd + lambda * bits;
+        if (cost < best_cost) {
+          best_cost = cost;
+          std::memcpy(best_rec, trec, sizeof(trec));
         }
       }
-      // four 4x4 residual blocks: DC through the 2x2 Hadamard side path,
-      // AC through the normal quant
-      int dc_raw[4], w4[4][16], res[16];
-      for (int sb = 0; sb < 4; ++sb) {
-        int oy = (sb >> 1) * 4, ox = (sb & 1) * 4;
-        for (int y = 0; y < 4; ++y)
-          for (int x = 0; x < 4; ++x)
-            res[y * 4 + x] =
-                (int)src[(size_t)(by + oy + y) * rec.w + bx + ox + x] -
-                best_pred[(oy + y) * 8 + ox + x];
-        fwd4x4(res, w4[sb]);
-        dc_raw[sb] = w4[sb][0];
-      }
-      int dc_scaled[4];
-      chroma_dc(dc_raw, dc_scaled, qp);
-      int qbits = 15 + qp / 6, rem = qp % 6;
-      int64_t f = (1LL << qbits) / 3;
-      for (int sb = 0; sb < 4; ++sb) {
-        int oy = (sb >> 1) * 4, ox = (sb & 1) * 4;
-        int wq[16];
-        for (int i = 0; i < 4; ++i)
-          for (int j = 0; j < 4; ++j) {
-            int idx = i * 4 + j;
-            if (idx == 0) {
-              wq[0] = dc_scaled[sb];
-              continue;
-            }
-            int c = pos_class(i, j);
-            int64_t a = std::llabs((int64_t)w4[sb][idx]);
-            int z = (int)((a * kMF[rem][c] + f) >> qbits);
-            z = w4[sb][idx] < 0 ? -z : z;
-            wq[idx] = (z * kV[rem][c]) << (qp / 6);
-          }
-        int rres[16];
-        inv4x4(wq, rres);
-        for (int y = 0; y < 4; ++y)
-          for (int x = 0; x < 4; ++x)
-            rec.at(by + oy + y, bx + ox + x) = (uint8_t)clip255(
-                best_pred[(oy + y) * 8 + ox + x] + rres[y * 4 + x]);
+      for (int pl = 0; pl < 2; ++pl) {
+        Plane& rp = pl ? cr : cb;
+        for (int y = 0; y < 8; ++y)
+          for (int x = 0; x < 8; ++x)
+            rp.at(by + y, bx + x) = best_rec[pl][y * 8 + x];
       }
     }
   }
@@ -729,11 +1063,15 @@ h264::Plane make_plane(const std::vector<double>& src, int h, int w,
 
 // H.264 pure-intra frame coding on YUV 4:2:0 (the JM IntraPeriod=1
 // configuration the reference drives via subprocess): BT.601 conversion,
-// chroma subsampling, 4x4 intra prediction + integer transform + spec
-// quantization, chroma DC Hadamard, in-loop deblocking, back to RGB.
-// QP 0..51. h and w must be even (the JM even-dimension constraint the
-// reference's downsampler enforces).
-void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
+// chroma subsampling, macroblock-order Intra_4x4/Intra_16x16 coding with
+// RD mode decision, integer transform + spec quantization, luma/chroma
+// DC Hadamard stages, in-loop deblocking, back to RGB. QP 0..51. h and w
+// must be even (the JM even-dimension constraint the reference's
+// downsampler enforces). `stats` (optional, int64[3]) receives
+// {macroblock count, Intra_16x16 macroblock count, luma nonzero
+// quantized-coefficient count}.
+void h264_intra_stats_u8(const uint8_t* rgb, int h, int w, int qp,
+                         uint8_t* out, int64_t* stats) {
   qp = std::clamp(qp, 0, 51);
   int ch2 = h / 2, cw2 = w / 2;
   std::vector<double> Y((size_t)h * w), Cb((size_t)ch2 * cw2),
@@ -771,14 +1109,19 @@ void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
   h264::Plane pcb = make_plane(Cb, ch2, cw2, 8, cbs);
   h264::Plane pcr = make_plane(Cr, ch2, cw2, 8, crs);
 
-  h264::code_luma(py, ys, qp);
-  h264::code_chroma(pcb, cbs, qp);
-  h264::code_chroma(pcr, crs, qp);
+  h264::LumaStats st;
+  h264::code_luma(py, ys, qp, &st);
+  h264::code_chroma_joint(pcb, pcr, cbs, crs, qp);
 
   h264::deblock(py, qp, 16, false);
   int qpc = h264::chroma_qp(qp);
   h264::deblock(pcb, qpc, 8, true);
   h264::deblock(pcr, qpc, 8, true);
+  if (stats != nullptr) {
+    stats[0] = (int64_t)st.n_mb;
+    stats[1] = (int64_t)st.n_i16;
+    stats[2] = (int64_t)st.nnz;
+  }
 
   for (int y = 0; y < h; ++y) {
     for (int x = 0; x < w; ++x) {
@@ -794,6 +1137,10 @@ void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
       p[2] = (uint8_t)std::clamp(std::round(b), 0.0, 255.0);
     }
   }
+}
+
+void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
+  h264_intra_stats_u8(rgb, h, w, qp, out, nullptr);
 }
 
 // Local-histogram entropy at `region`, average-pooled at crop_size, argmax

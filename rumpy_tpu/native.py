@@ -6,10 +6,12 @@ Builds the shared library on first use if g++ is available (the compiled
 
 Components (see the .cpp header for the design rationale):
   * pil_resize  — bit-exact Pillow bicubic/bilinear (integer fixed point);
-  * h264_intra  — real H.264 intra toolchain on YUV 4:2:0 (4x4 intra
-    prediction with all 9 modes, integer transform + spec quantization
-    tables, chroma DC Hadamard, in-loop deblocking) — the JM encoder's
-    IntraPeriod=1 path minus entropy coding / RD mode decision;
+  * h264_intra  — real H.264 intra toolchain on YUV 4:2:0 (macroblock
+    coding order, Intra_4x4 with all 9 modes + Intra_16x16 with the luma
+    DC Hadamard, RD mode decision with JM's lambda, shared per-MB chroma
+    mode, spec transform/quant tables, in-loop deblocking) — the JM
+    encoder_baseline.cfg IntraPeriod=1 path; only the RD rate term
+    approximates CAVLC (no bitstream is emitted);
   * entropy_patch — host entropy patch selection for dataloader workers.
 """
 
@@ -60,6 +62,9 @@ def _load() -> ctypes.CDLL:
         [ctypes.c_int] * 3
     lib.h264_intra_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, u8p]
+    lib.h264_intra_stats_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, u8p,
+                                        ctypes.POINTER(ctypes.c_int64)]
     lib.entropy_patch_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_int),
@@ -102,6 +107,21 @@ def h264_intra(rgb: np.ndarray, qp: int) -> np.ndarray:
     lib.h264_intra_u8(rgb.ctypes.data_as(u8p), h, w, int(qp),
                       out.ctypes.data_as(u8p))
     return out
+
+
+def h264_intra_stats(rgb: np.ndarray, qp: int):
+    """h264_intra + encoder decision statistics: returns
+    (out, {"n_mb", "n_i16", "nnz"}) — macroblock count, Intra_16x16
+    macroblock count, and luma nonzero quantized-coefficient count."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    out = np.empty_like(rgb)
+    stats = (ctypes.c_int64 * 3)()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.h264_intra_stats_u8(rgb.ctypes.data_as(u8p), h, w, int(qp),
+                            out.ctypes.data_as(u8p), stats)
+    return out, {"n_mb": stats[0], "n_i16": stats[1], "nnz": stats[2]}
 
 
 def entropy_patch(gray_u8: np.ndarray, region: int = 10,

@@ -96,3 +96,39 @@ def test_native_h264_flat_regions_stay_uniform():
         assert np.unique(out[..., c]).size == 1  # perfectly uniform
     # at QP0 the grid is fine enough to be lossless on flat content
     assert np.array_equal(native.h264_intra(img, 0), img)
+
+
+def test_native_h264_i16_mode_selection_tracks_content_and_qp():
+    """RD macroblock-mode decision (JM encoder_baseline.cfg semantics,
+    RDOptimization=1): smooth gradients code as Intra_16x16, dense
+    texture at low QP as Intra_4x4, and the I16 share rises with QP —
+    the characteristic behavior of a real H.264 intra encoder that a
+    min-SAD 4x4-only coder cannot reproduce."""
+    from rumpy_tpu import native
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.stack([np.clip(60 + yy, 0, 255), np.clip(80 + xx // 2, 0, 255),
+                       np.full_like(yy, 100)], -1).astype(np.uint8)
+    rng_ = np.random.default_rng(0)
+    tex = (rng_.random((64, 64, 3)) * 255).astype(np.uint8)
+
+    _, st = native.h264_intra_stats(smooth, 40)
+    assert st["n_mb"] == 16 and st["n_i16"] == 16  # all-I16 on smooth
+    _, st = native.h264_intra_stats(tex, 10)
+    assert st["n_i16"] == 0  # all-I4 on texture at fine quant
+    _, lo = native.h264_intra_stats(tex, 20)
+    _, hi = native.h264_intra_stats(tex, 45)
+    assert hi["n_i16"] > lo["n_i16"]  # coarser quant -> more I16
+    assert hi["nnz"] < lo["nnz"]  # and fewer coded coefficients
+
+
+def test_native_h264_plane_mode_gradient_fidelity():
+    """Intra_16x16 plane prediction (spec 8.3.3.4) models linear ramps:
+    a gradient frame at QP40 must reconstruct with far less error than
+    the quantizer step alone would allow for DC-only prediction."""
+    from rumpy_tpu import native
+    yy, xx = np.mgrid[0:64, 0:64]
+    grad = np.stack([np.clip(60 + yy, 0, 255), np.clip(80 + xx // 2, 0, 255),
+                     np.full_like(yy, 100)], -1).astype(np.uint8)
+    out = native.h264_intra(grad, 40)
+    mse = np.mean((out.astype(float) - grad.astype(float)) ** 2)
+    assert mse < 25.0, mse
