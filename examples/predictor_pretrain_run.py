@@ -1,0 +1,153 @@
+"""Train a contrastive degradation predictor on the chip and package it.
+
+Counterpart of the reference's packaged pretrained encoders
+(regression/pretrained_networks/, consumed by warm_start_setup
+training_handler.py:92-118): trains SupMoCo on real HR images with the
+fused on-device blur->downsample->noise->JPEG degradation chain (the
+config #4/#5 distribution), through the REAL `train_sisr` CLI with
+task_type=regression — epoch loop, per-epoch clustering scores,
+summary.csv, the whole production path — then packages the resulting
+checkpoint under rumpy_tpu/pretrained/<name>/ where
+`training.warm_start = "<name>"` resolves it by bare name, exactly like
+the reference.
+
+"Converges" = contrastive train-loss falls and the eval-set embedding
+clustering scores (silhouette up, Davies-Bouldin down) improve over
+random init. Results are recorded in BASELINE.md.
+
+Usage:  python examples/predictor_pretrain_run.py [--epochs 40]
+        [--package supmoco_fullchain_d256] [--workdir /tmp/rumpy_predictor]
+"""
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convergence_run import EVAL_HR, PIPELINES, stage_data  # noqa: E402
+
+
+def generate_eval_set(workdir: str, seed: int) -> str:
+    """Offline-degrade Set5 HR with the full chain (held-out seed) so the
+    eval set carries the degradation-metadata CSV the class labelling
+    needs for clustering scores."""
+    from rumpy_tpu.degradations.pipeline import ImagePipeline
+    out = os.path.join(workdir, f"eval_clustering_s{seed}")
+    marker = os.path.join(out, "degradation_metadata.csv")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        spec = PIPELINES["fullchain"]
+        pipe = ImagePipeline(spec["pipeline"],
+                             deg_configs=spec["deg_configs"],
+                             seed=seed, scale=4)
+        files = sorted(glob.glob(os.path.join(EVAL_HR, "*.png")))
+        # several degraded copies per image -> enough points to cluster
+        pipe.run_pipeline(image_files=files, save_to_dir=out, multiples=6,
+                          progress_bar_off=True)
+        print(f"generated clustering eval set in {out}")
+    return out
+
+
+def write_config(workdir: str, hr_dir: str, eval_dir: str,
+                 epochs: int, batch: int) -> str:
+    from rumpy_tpu.config.loader import dump_toml
+    spec = PIPELINES["fullchain"]
+    cfg = {
+        "experiment": "supmoco_pretrain",
+        "experiment_save_loc": os.path.join(workdir, "Results"),
+        "data": {
+            "task_type": "regression",
+            "scale": 4,
+            "crop": 64,
+            "crop_count": 2,
+            "dataloader_threads": 2,
+            "training_sets": {"data_1": {"hr_dir": hr_dir}},
+            "eval_sets": {"data_1": {"lr_dir": eval_dir,
+                                     "metadata_file": "on_site"}},
+            "online_degradations": spec,
+        },
+        "model": {
+            "name": "supmoco",
+            "internal_params": {"dim": 256, "K": 8192, "lr": 1e-3},
+        },
+        "training": {
+            "num_epochs": epochs,
+            "batch_size": batch,
+            "seed": 0,
+        },
+    }
+    path = os.path.join(workdir, "config.toml")
+    dump_toml(cfg, path)
+    return path
+
+
+def package(workdir: str, name: str) -> str:
+    """Mirror warm_start_setup's copyfiles contract: config + summary.csv
+    + the last saved_models checkpoint, re-saved minimal (no optimizer)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exp = os.path.join(workdir, "Results", "supmoco_pretrain")
+    dst = os.path.join(repo, "rumpy_tpu", "pretrained", name)
+    os.makedirs(os.path.join(dst, "saved_models"), exist_ok=True)
+    os.makedirs(os.path.join(dst, "result_outputs"), exist_ok=True)
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils import checkpoint as ckpt
+    handler = get_model("supmoco")(dim=256, K=8192)
+    src_models = os.path.join(exp, "saved_models")
+    epoch = ckpt.select_epoch(src_models, "last")
+    state, _ = handler.load_model(src_models, epoch, skip_optimizer_load=True)
+    handler.save_model(state, os.path.join(dst, "saved_models"), epoch,
+                       minimal=True)
+    shutil.copy2(os.path.join(exp, "result_outputs", "summary.csv"),
+                 os.path.join(dst, "result_outputs", "summary.csv"))
+    for f in os.listdir(exp):
+        if f.endswith(".toml"):
+            shutil.copy2(os.path.join(exp, f),
+                         os.path.join(dst, "pretrained_config.toml"))
+            break
+    print(f"packaged epoch {epoch} -> {dst}")
+    return dst
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--copies", type=int, default=120)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--package", default=None,
+                    help="package the trained net under this name")
+    ap.add_argument("--workdir", default="/tmp/rumpy_predictor")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    hr_dir = stage_data(args.workdir, args.copies)
+    eval_dir = generate_eval_set(args.workdir, seed=2024)
+    cfg = write_config(args.workdir, hr_dir, eval_dir, args.epochs,
+                       args.batch)
+
+    from click.testing import CliRunner
+
+    from rumpy_tpu.cli.train_sisr import main as train_main
+    r = CliRunner().invoke(train_main, ["--parameters", cfg],
+                           catch_exceptions=False)
+    print(r.output[-3000:])
+    assert r.exit_code == 0
+
+    import pandas as pd
+    summary = os.path.join(args.workdir, "Results", "supmoco_pretrain",
+                           "result_outputs", "summary.csv")
+    df = pd.read_csv(summary)
+    cols = [c for c in df.columns
+            if c in ("epoch", "train-loss") or "silhouette" in c
+            or "davies" in c]
+    print("\n" + df[cols].to_string(index=False))
+
+    if args.package:
+        package(args.workdir, args.package)
+
+
+if __name__ == "__main__":
+    main()

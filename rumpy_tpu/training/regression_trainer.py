@@ -34,9 +34,27 @@ class RegressionTrainingHandler(TrainingHandler):
                                     or "default")
         self._selected_metadata = internal.pop("selected_metadata", None) or "all"
         self._warm_start = (config.get("training") or {}).get("warm_start")
-        # positives_per_class drives the dataset's crop_count
-        self._positives = int(internal.get("positives_per_class")
-                              or internal.get("positives") or 1)
+        # positives_per_class drives the dataset's crop_count; when the
+        # config is silent, the default must come from the HANDLER's own
+        # signature (SupMoCo/WeakCon default to 4 positives, MoCo to 1) —
+        # a hardcoded 1 here would build 2-crop batches that crash
+        # SupMoCo's (n, positives, dim) key reshape
+        positives = (internal.get("positives_per_class")
+                     or internal.get("positives"))
+        if not positives:
+            import inspect
+
+            from rumpy_tpu.registry import get_model
+            try:
+                sig = inspect.signature(
+                    get_model(model_cfg.get("name") or ""))
+                par = (sig.parameters.get("positives_per_class")
+                       or sig.parameters.get("positives"))
+                if par is not None and par.default is not inspect.Parameter.empty:
+                    positives = par.default
+            except KeyError:
+                pass
+        self._positives = int(positives or 1)
         data_cfg["crop_count"] = self._positives + 1
         # SimCLR colour jitter on contrastive views (reference
         # image_functions.py:364-371, applied per-crop in workers; here an
@@ -101,10 +119,24 @@ class RegressionTrainingHandler(TrainingHandler):
         return ds.datasets[0] if hasattr(ds, "datasets") else ds
 
     def _do_warm_start(self, spec):
-        """Load encoder weights from a previous experiment
-        (training_handler.py:92-118)."""
+        """Load encoder weights from a previous experiment or a packaged
+        pretrained network (training_handler.py:92-118: the reference
+        resolves bare names against its in-repo
+        regression/pretrained_networks/<name>; here bare names resolve
+        against rumpy_tpu/pretrained/<name>)."""
         from rumpy_tpu.utils import checkpoint as ckpt
         path_dir = spec.get("model_save_dir") if isinstance(spec, dict) else spec
+        if isinstance(path_dir, str) and not ckpt.available_epochs(path_dir):
+            packaged = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "pretrained", path_dir, "saved_models")
+            if ckpt.available_epochs(packaged):
+                path_dir = packaged
+            else:
+                raise RuntimeError(
+                    f"The warm start model '{path_dir}' is not available "
+                    f"(no checkpoints there, and no packaged network at "
+                    f"{packaged}).")
         state, epoch = self.model.model.load_model(
             path_dir, (spec.get("epoch", "last")
                        if isinstance(spec, dict) else "last"),

@@ -133,3 +133,30 @@ def test_cli_routes_regression(tmp_path, degraded_dataset):
     dump_toml(cfg, str(path))
     r = CliRunner().invoke(main, ["--parameters", str(path)])
     assert r.exit_code == 0, r.output + repr(r.exception)
+
+
+def test_positives_default_derived_from_handler(tmp_path, degraded_dataset):
+    """A config that omits positives_per_class must build crop_count from
+    the HANDLER's own signature default (SupMoCo: 4), not a hardcoded 1 —
+    the mismatch crashed SupMoCo's (n, positives, dim) key reshape on the
+    first training batch."""
+    cfg = _config(tmp_path, degraded_dataset, "supmoco",
+                  {"K": 8, "dim": 32})
+    from rumpy_tpu.training.regression_trainer import \
+        RegressionTrainingHandler
+    h = RegressionTrainingHandler(cfg, verbose=False)
+    assert h._positives == 4  # SupMoCoHandler's positives_per_class default
+    stats = h.run_experiment()
+    assert np.isfinite(stats[0]["train-loss"])
+
+
+def test_warm_start_unknown_name_fails_loud(tmp_path, degraded_dataset):
+    """Bare warm_start names resolve against rumpy_tpu/pretrained/<name>
+    (reference warm_start_setup semantics, training_handler.py:92-118);
+    an unknown name must raise, not silently train from scratch."""
+    cfg = _config(tmp_path, degraded_dataset, "moco", {"K": 8, "dim": 32})
+    cfg["training"]["warm_start"] = "no_such_packaged_net"
+    from rumpy_tpu.training.regression_trainer import \
+        RegressionTrainingHandler
+    with pytest.raises(RuntimeError, match="not available"):
+        RegressionTrainingHandler(cfg, verbose=False)
