@@ -24,17 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from rumpy_tpu.degradations.pipeline import ImagePipeline
     from rumpy_tpu.registry import get_model
 
-    batch, lr_patch, scale = 120, 48, 4
-    hr_patch = lr_patch * scale
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("rcan", "bobw"), default="rcan",
+                    help="rcan = bench.py north-star step (b120); bobw = "
+                         "config #5 flagship at its b96 operating point")
+    args = ap.parse_args()
 
-    handler = get_model("rcan")(scale=scale, n_feats=64, n_resgroups=10,
-                                n_resblocks=20, lr=1e-4, dtype="bf16")
+    scale = 4
+    if args.model == "bobw":
+        batch, lr_patch = 96, 48
+        handler = get_model("contrastiveblindqrcan")(
+            scale=scale, n_feats=64, n_resgroups=10, n_resblocks=20,
+            block_encoder_loading=True, lr=1e-4, dtype="bf16")
+    else:
+        batch, lr_patch = 120, 48
+        handler = get_model("rcan")(scale=scale, n_feats=64,
+                                    n_resgroups=10, n_resblocks=20,
+                                    lr=1e-4, dtype="bf16")
+    hr_patch = lr_patch * scale
     pipe = ImagePipeline(
         [["realesrganblur", "b"], ["downsample", "d"],
          ["realesrgannoise", "n"], ["jpegcompress", "j"]],
