@@ -242,9 +242,11 @@ class ContrastiveBlindSRHandler(BaseHandler):
 
     def load_encoder(self, state: TrainState, weights_dir: str,
                      epoch="last") -> TrainState:
-        """Warm-start E from a trained predictor experiment (our checkpoint
-        format; parity role of pre_trained_encoder_weights)."""
+        """Warm-start E from a trained predictor experiment or a packaged
+        pretrained network name (rumpy_tpu/pretrained/<name>; parity role
+        of pre_trained_encoder_weights)."""
         from rumpy_tpu.utils import checkpoint as ckpt
+        weights_dir = ckpt.resolve_packaged(weights_dir)
         ep = ckpt.select_epoch(weights_dir, epoch)
         raw = ckpt.load_checkpoint(ckpt.checkpoint_path(weights_dir, ep))
         from flax import serialization

@@ -126,17 +126,8 @@ class RegressionTrainingHandler(TrainingHandler):
         against rumpy_tpu/pretrained/<name>)."""
         from rumpy_tpu.utils import checkpoint as ckpt
         path_dir = spec.get("model_save_dir") if isinstance(spec, dict) else spec
-        if isinstance(path_dir, str) and not ckpt.available_epochs(path_dir):
-            packaged = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "pretrained", path_dir, "saved_models")
-            if ckpt.available_epochs(packaged):
-                path_dir = packaged
-            else:
-                raise RuntimeError(
-                    f"The warm start model '{path_dir}' is not available "
-                    f"(no checkpoints there, and no packaged network at "
-                    f"{packaged}).")
+        if isinstance(path_dir, str):
+            path_dir = ckpt.resolve_packaged(path_dir)
         state, epoch = self.model.model.load_model(
             path_dir, (spec.get("epoch", "last")
                        if isinstance(spec, dict) else "last"),

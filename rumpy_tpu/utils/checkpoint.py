@@ -95,6 +95,25 @@ def available_epochs(model_save_dir: str):
     return sorted(eps)
 
 
+def resolve_packaged(path_or_name: str) -> str:
+    """Resolve a checkpoint directory OR a packaged pretrained-network
+    name. Bare names resolve against rumpy_tpu/pretrained/<name>/
+    saved_models — the analog of the reference's in-repo
+    regression/pretrained_networks/ lookup (training_handler.py:92-118).
+    Raises when neither location holds checkpoints (fail loud rather
+    than silently training from scratch)."""
+    if available_epochs(path_or_name):
+        return path_or_name
+    packaged = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pretrained", path_or_name, "saved_models")
+    if available_epochs(packaged):
+        return packaged
+    raise RuntimeError(
+        f"The warm start model '{path_or_name}' is not available (no "
+        f"checkpoints there, and no packaged network at {packaged}).")
+
+
 def select_epoch(model_save_dir: str, which, summary_csv: Optional[str] = None,
                  metric: str = "val-PSNR",
                  fallback: Optional[str] = None) -> int:
