@@ -62,7 +62,8 @@ def write_config(workdir: str, hr_dir: str, eval_dir: str,
             "task_type": "regression",
             "scale": 4,
             "crop": 64,
-            "crop_count": 2,
+            # crop_count derives from the handler's positives_per_class
+            # default (SupMoCo: 4 -> 5 crops per image)
             "dataloader_threads": 2,
             "training_sets": {"data_1": {"hr_dir": hr_dir}},
             "eval_sets": {"data_1": {"lr_dir": eval_dir,
@@ -93,9 +94,16 @@ def package(workdir: str, name: str) -> str:
     os.makedirs(os.path.join(dst, "saved_models"), exist_ok=True)
     os.makedirs(os.path.join(dst, "result_outputs"), exist_ok=True)
 
+    from rumpy_tpu.config.loader import load_config
     from rumpy_tpu.registry import get_model
     from rumpy_tpu.utils import checkpoint as ckpt
-    handler = get_model("supmoco")(dim=256, K=8192)
+    # model params come from the experiment's own config copy so the
+    # packaging template can never drift from what was trained
+    exp_cfg = load_config(glob.glob(os.path.join(exp, "*.toml"))[0])
+    internal = dict((exp_cfg.get("model") or {}).get("internal_params")
+                    or {})
+    handler = get_model((exp_cfg.get("model") or {}).get("name")
+                        or "supmoco")(**internal)
     src_models = os.path.join(exp, "saved_models")
     epoch = ckpt.select_epoch(src_models, "last")
     state, _ = handler.load_model(src_models, epoch, skip_optimizer_load=True)

@@ -1025,15 +1025,30 @@ void deblock(Plane& p, int qp, int mb, bool chroma) {
           q1 + iclip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0));
   };
 
-  // vertical edges (filter across columns), then horizontal edges —
-  // in place, filtered samples feed later edges as in the spec
-  for (int x = 4; x < p.w; x += 4) {
-    bool mb_edge = (x % mb) == 0;
-    for (int y = 0; y < p.h; ++y) filter_edge(y, x, 0, 1, mb_edge);
-  }
-  for (int y = 4; y < p.h; y += 4) {
-    bool mb_edge = (y % mb) == 0;
-    for (int x = 0; x < p.w; ++x) filter_edge(y, x, 1, 0, mb_edge);
+  // Per-MACROBLOCK edge order (spec 8.7): for each MB in raster order,
+  // filter all of its vertical edges (left MB edge first, then internal
+  // transform edges), then all of its horizontal edges — in place, so a
+  // macroblock is fully filtered before the MB to its right reads those
+  // samples through its own left vertical edge. (A frame-global
+  // vertical-then-horizontal sweep diverges from the spec wherever both
+  // filters fire near an MB corner.)
+  for (int my = 0; my < p.h; my += mb) {
+    for (int mx = 0; mx < p.w; mx += mb) {
+      for (int dx = 0; dx < mb; dx += 4) {
+        int x = mx + dx;
+        if (x == 0) continue;  // picture edge: never filtered
+        bool mb_edge = dx == 0;
+        for (int y = my; y < my + mb; ++y)
+          filter_edge(y, x, 0, 1, mb_edge);
+      }
+      for (int dy = 0; dy < mb; dy += 4) {
+        int y = my + dy;
+        if (y == 0) continue;
+        bool mb_edge = dy == 0;
+        for (int x = mx; x < mx + mb; ++x)
+          filter_edge(y, x, 1, 0, mb_edge);
+      }
+    }
   }
 }
 
@@ -1147,41 +1162,67 @@ void h264_intra_u8(const uint8_t* rgb, int h, int w, int qp, uint8_t* out) {
 // -> best patch corner (y, x). gray: (h, w) uint8.
 void entropy_patch_u8(const uint8_t* gray, int h, int w, int region,
                       int crop_size, int* best_y, int* best_x) {
+  // Per-pixel local entropy with a column-sliding histogram: each x-step
+  // adds/removes one window column (O(region) bin updates), and the
+  // entropy itself is maintained incrementally via
+  //   H = log2(n) - S/n,  S = sum_v count_v * log2(count_v),
+  // with a precomputed v*log2(v) table — O(h*w*region) total instead of
+  // the naive O(h*w*(region^2 + 256)).
   std::vector<double> ent(static_cast<size_t>(h) * w, 0.0);
   int half = region / 2;
+  std::vector<double> vlog((size_t)region * region + 1, 0.0);
+  for (size_t v = 2; v < vlog.size(); ++v)
+    vlog[v] = (double)v * std::log2((double)v);
   std::vector<int> hist(256);
   for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      std::fill(hist.begin(), hist.end(), 0);
-      int count = 0;
-      for (int dy = -half; dy < region - half; ++dy) {
-        int yy = y + dy;
-        if (yy < 0 || yy >= h) continue;
-        for (int dx = -half; dx < region - half; ++dx) {
-          int xx = x + dx;
-          if (xx < 0 || xx >= w) continue;
-          ++hist[gray[static_cast<size_t>(yy) * w + xx]];
-          ++count;
-        }
+    int y0 = std::max(0, y - half), y1 = std::min(h, y + region - half);
+    std::fill(hist.begin(), hist.end(), 0);
+    int count = 0;
+    double S = 0.0;
+    auto add_col = [&](int xx) {
+      if (xx < 0 || xx >= w) return;
+      for (int yy = y0; yy < y1; ++yy) {
+        int& c = hist[gray[(size_t)yy * w + xx]];
+        S += vlog[c + 1] - vlog[c];
+        ++c;
+        ++count;
       }
-      double e = 0.0;
-      for (int v : hist)
-        if (v > 0) {
-          double p = static_cast<double>(v) / count;
-          e -= p * std::log2(p);
-        }
-      ent[static_cast<size_t>(y) * w + x] = e;
+    };
+    auto rm_col = [&](int xx) {
+      if (xx < 0 || xx >= w) return;
+      for (int yy = y0; yy < y1; ++yy) {
+        int& c = hist[gray[(size_t)yy * w + xx]];
+        S += vlog[c - 1] - vlog[c];
+        --c;
+        --count;
+      }
+    };
+    for (int xx = -half; xx < region - half; ++xx) add_col(xx);
+    for (int x = 0; x < w; ++x) {
+      ent[(size_t)y * w + x] =
+          count > 0 ? std::log2((double)count) - S / count : 0.0;
+      rm_col(x - half);
+      add_col(x + region - half);
     }
   }
+  // integral image over ent -> every crop-corner sum in O(1)
+  std::vector<double> integ((size_t)(h + 1) * (w + 1), 0.0);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x)
+      integ[(size_t)(y + 1) * (w + 1) + x + 1] =
+          ent[(size_t)y * w + x] +
+          integ[(size_t)y * (w + 1) + x + 1] +
+          integ[(size_t)(y + 1) * (w + 1) + x] -
+          integ[(size_t)y * (w + 1) + x];
   double best = -1.0;
   *best_y = 0;
   *best_x = 0;
   for (int y = 0; y + crop_size <= h; ++y) {
     for (int x = 0; x + crop_size <= w; ++x) {
-      double s = 0.0;
-      for (int dy = 0; dy < crop_size; ++dy)
-        for (int dx = 0; dx < crop_size; ++dx)
-          s += ent[static_cast<size_t>(y + dy) * w + x + dx];
+      double s = integ[(size_t)(y + crop_size) * (w + 1) + x + crop_size] -
+                 integ[(size_t)y * (w + 1) + x + crop_size] -
+                 integ[(size_t)(y + crop_size) * (w + 1) + x] +
+                 integ[(size_t)y * (w + 1) + x];
       if (s > best) {
         best = s;
         *best_y = y;

@@ -41,6 +41,11 @@ class RegressionTrainingHandler(TrainingHandler):
         # SupMoCo's (n, positives, dim) key reshape
         positives = (internal.get("positives_per_class")
                      or internal.get("positives"))
+        cfg_crops = data_cfg.get("crop_count")
+        if not positives and cfg_crops:
+            # explicit data.crop_count is the other way users state the
+            # same fact: crop_count = positives + 1
+            positives = int(cfg_crops) - 1
         if not positives:
             import inspect
 
@@ -55,6 +60,12 @@ class RegressionTrainingHandler(TrainingHandler):
             except KeyError:
                 pass
         self._positives = int(positives or 1)
+        if cfg_crops and int(cfg_crops) != self._positives + 1:
+            raise ValueError(
+                f"data.crop_count={cfg_crops} conflicts with "
+                f"positives_per_class={self._positives}: contrastive "
+                f"batches need crop_count = positives + 1 "
+                f"= {self._positives + 1}")
         data_cfg["crop_count"] = self._positives + 1
         # SimCLR colour jitter on contrastive views (reference
         # image_functions.py:364-371, applied per-crop in workers; here an
@@ -91,14 +102,8 @@ class RegressionTrainingHandler(TrainingHandler):
         if hasattr(handler, "register_classes") and self._num_classes:
             handler.register_classes(self._num_classes)
             handler.num_classes = self._num_classes
-            # unseen-slot sentinel: -1 (one_hot(-1) == 0, can never
-            # one-hot-match a real class regardless of registration order)
-            import jax.numpy as jnp
-            if "queue_labels" in self.model.state.extra:
-                self.model.state = self.model.state.replace(
-                    extra={**self.model.state.extra,
-                           "queue_labels": jnp.full(
-                               (handler.K,), -1, jnp.int32)})
+            # (queue_labels already hold the -1 unseen-slot sentinel from
+            # init_queue_sides — no re-initialization needed here)
         if hasattr(handler, "register_vector") and self._valid:
             vsize = cl.degradation_vector_size(self._valid)
             handler.register_vector(vsize)
@@ -123,16 +128,57 @@ class RegressionTrainingHandler(TrainingHandler):
         pretrained network (training_handler.py:92-118: the reference
         resolves bare names against its in-repo
         regression/pretrained_networks/<name>; here bare names resolve
-        against rumpy_tpu/pretrained/<name>)."""
+        against rumpy_tpu/pretrained/<name>).
+
+        Only shape-compatible state is taken from the checkpoint:
+        network params must match exactly (fail loud otherwise); extra
+        entries transfer per-key when shapes match (EMA/key encoder,
+        BatchNorm stats, the feature queue when K agrees) — EXCEPT the
+        label/vector queues, which keep THIS run's initialization: the
+        old run's class ids belong to its labelling scheme, not ours."""
+        import jax
+
         from rumpy_tpu.utils import checkpoint as ckpt
         path_dir = spec.get("model_save_dir") if isinstance(spec, dict) else spec
         if isinstance(path_dir, str):
             path_dir = ckpt.resolve_packaged(path_dir)
-        state, epoch = self.model.model.load_model(
+        summary = os.path.join(os.path.dirname(path_dir.rstrip(os.sep)),
+                               "result_outputs", "summary.csv")
+        loaded, epoch = self.model.model.load_model(
             path_dir, (spec.get("epoch", "last")
                        if isinstance(spec, dict) else "last"),
+            summary_csv=summary if os.path.isfile(summary) else None,
             skip_optimizer_load=True)
-        self.model.state = state
+        fresh = self.model.state
+
+        def _shapes_match(a, b):
+            la = jax.tree_util.tree_leaves(a)
+            lb = jax.tree_util.tree_leaves(b)
+            return (jax.tree_util.tree_structure(a)
+                    == jax.tree_util.tree_structure(b)
+                    and len(la) == len(lb)
+                    and all(np.shape(x) == np.shape(y)
+                            for x, y in zip(la, lb)))
+
+        if not _shapes_match(loaded.params, fresh.params):
+            raise RuntimeError(
+                f"warm start from {path_dir}: checkpoint network shapes "
+                f"do not match this model's configuration")
+        new_extra = dict(fresh.extra or {})
+        for k, lv in (loaded.extra or {}).items():
+            if k in ("queue_labels", "queue_vectors"):
+                continue
+            fv = new_extra.get(k)
+            if fv is not None and _shapes_match(lv, fv):
+                new_extra[k] = lv
+        if ("queue" in new_extra
+                and new_extra["queue"] is (fresh.extra or {}).get("queue")
+                and "queue_ptr" in (fresh.extra or {})):
+            # feature queue was NOT transferred (K mismatch) — its fill
+            # pointer must stay fresh too
+            new_extra["queue_ptr"] = fresh.extra["queue_ptr"]
+        self.model.state = fresh.replace(params=loaded.params,
+                                         extra=new_extra)
         print(f"warm-started from {path_dir} (epoch {epoch})")
 
     # ------------------------------------------------------------------
