@@ -31,6 +31,18 @@ BASELINE_MP_PER_SEC = 1.76
 
 
 def main():
+    # A hung accelerator tunnel blocks the first backend access forever;
+    # probe in a throwaway subprocess and bail with a parseable JSON line
+    # rather than hanging the driver (observed: multi-hour axon outages).
+    import __graft_entry__ as _ge
+    if not _ge._default_backend_usable(timeout=300):
+        print(json.dumps({
+            "metric": "rcan_x4_blind_train_throughput", "value": 0.0,
+            "unit": "HR_megapixels/sec/chip", "vs_baseline": 0.0,
+            "error": "default backend unreachable (hung tunnel?) — "
+                     "bench skipped"}))
+        return
+
     import jax
     import jax.numpy as jnp
 
