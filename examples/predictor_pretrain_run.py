@@ -127,8 +127,17 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--package", default=None,
                     help="package the trained net under this name")
+    ap.add_argument("--platform", choices=("default", "cpu"),
+                    default="default",
+                    help="cpu = pin the CPU backend IN-PYTHON (the env "
+                         "var alone does not stop the axon plugin from "
+                         "dialing a possibly-hung tunnel)")
     ap.add_argument("--workdir", default="/tmp/rumpy_predictor")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.workdir, exist_ok=True)
     hr_dir = stage_data(args.workdir, args.copies)
