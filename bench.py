@@ -165,8 +165,7 @@ def _secondary_metrics(pipe, scale):
         lr, _meta = pipe.degrade_batch(key, b["hr"])
         return {"lr": lr, "hr": b["hr"]}
 
-    bobw.input_fn = input_fn
-    bobw._rejit()
+    bobw.set_input_pipeline(input_fn)
     bstate = _init_on_cpu(bobw)
     hr = jnp.asarray(np.random.default_rng(1).random(
         (batch, hr_patch, hr_patch, 3)).astype(np.float32))

@@ -204,9 +204,18 @@ class SuperResImages:
             return None
         mask = _decode(path)
         if mask.shape[0] != th or mask.shape[1] != tw:
-            oh = max(0, (mask.shape[0] - th) // 2)
-            ow = max(0, (mask.shape[1] - tw) // 2)
-            mask = mask[oh:oh + th, ow:ow + tw]
+            # PIL .crop semantics (the reference's center_crop,
+            # image_functions.py:195-206): out-of-bounds regions read as
+            # zero, so masks SMALLER than the target come back centered
+            # in a zero field, not undersized.
+            t = (mask.shape[0] - th) // 2
+            l = (mask.shape[1] - tw) // 2
+            out = np.zeros((th, tw) + mask.shape[2:], mask.dtype)
+            src = mask[max(t, 0):max(t, 0) + min(th, mask.shape[0]),
+                       max(l, 0):max(l, 0) + min(tw, mask.shape[1])]
+            out[max(-t, 0):max(-t, 0) + src.shape[0],
+                max(-l, 0):max(-l, 0) + src.shape[1]] = src
+            mask = out
         return mask.astype(np.float32) / 255.0
 
     def _colorspace_convert(self, arr_u8: np.ndarray) -> np.ndarray:

@@ -63,8 +63,11 @@ class RealESRGANNoise(DegradationOp):
                 _, _, n_poiss = noise_ops.add_poisson_noise(
                     kp, blank, self.poisson_noise_scale_range,
                     self.gray_noise_probability, return_noise=True)
-                samples = jnp.concatenate([n_gauss, n_poiss]).reshape(
-                    (pca_batch_len, -1))
+                samples = jnp.concatenate([n_gauss, n_poiss])
+                # 2*(pca_batch_len//2) rows — derive the row count from
+                # the data so an odd pca_batch_len cannot break the
+                # reshape
+                samples = samples.reshape((samples.shape[0], -1))
                 self.pca_encoder = pca_mod.PCAEncoder(
                     pca_mod.fit_pca(samples, k=noise_image_pca_length))
 

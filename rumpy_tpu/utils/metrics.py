@@ -134,6 +134,25 @@ def load_boundary_data(hr_data_loc: str) -> Dict[str, Dict[str, int]]:
             if not any(val < 0 for val in v.values())}
 
 
+def _boundary_entry(boundary_data: Dict[str, Dict[str, int]], name):
+    """Boundary lookup. The reference indexes with `name + '.png'`
+    hardcoded (metrics.py:161, its own TODO notes the unsynchronized
+    extension) — try that first for parity, then the raw name and a
+    stem match, so non-png datasets measure the face box instead of
+    silently falling back to whole-image PSNR for every image."""
+    import os
+    n = str(name)
+    entry = boundary_data.get(n + ".png")
+    if entry is None:
+        entry = boundary_data.get(n)
+    if entry is None:
+        stem = os.path.splitext(n)[0]
+        for k, v in boundary_data.items():
+            if os.path.splitext(str(k))[0] == stem:
+                return v
+    return entry
+
+
 def _boundary_mask(shape, box) -> np.ndarray:
     """(H, W) 0/1 mask for a top/left/height/width box dict."""
     mask = np.zeros(shape[:2], np.float32)
@@ -153,7 +172,7 @@ def face_psnr(im_a, im_ref, probe_names, boundary_data,
     r = np.asarray(im_ref, np.float32)
     out = []
     for i, name in enumerate(probe_names):
-        entry = boundary_data.get(str(name) + ".png")
+        entry = _boundary_entry(boundary_data, name)
         if entry is not None:
             mask = _boundary_mask(a.shape[1:3], entry)
         else:
@@ -171,7 +190,7 @@ def true_face_psnr(im_a, im_ref, probe_names, boundary_data,
     r = np.asarray(im_ref, np.float32)
     out = []
     for i, name in enumerate(probe_names):
-        entry = boundary_data.get(str(name) + ".png")
+        entry = _boundary_entry(boundary_data, name)
         if entry is not None:
             t, l = entry["top"], entry["left"]
             h, w = entry["height"], entry["width"]

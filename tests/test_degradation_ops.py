@@ -190,6 +190,13 @@ def test_noise_image_pca_metadata(rng):
     # default path emits no pca column
     _, meta2 = RealESRGANNoise(seed=3)(im)
     assert "pca_noise" not in meta2
+    # odd pca_batch_len must not break the basis fit (row count derives
+    # from the generated samples, 2*(pca_batch_len//2))
+    op_odd = RealESRGANNoise(request_noise_image_pca=True,
+                             pca_batch_len=41, noise_image_pca_length=8,
+                             pca_patch_size=16, seed=4)
+    _, meta3 = op_odd(im)
+    assert len(meta3["pca_noise"]) == 8
 
 
 def _fake_jm_dir(tmp_path):

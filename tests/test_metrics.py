@@ -129,6 +129,25 @@ def test_face_psnr_masks_outside_box(tmp_path, rng):
     assert vals[0] > crop[0]
 
 
+def test_boundary_lookup_non_png_extensions(tmp_path, rng):
+    """The reference hardcodes `name + '.png'` in the boundary lookup
+    (metrics.py:161); datasets whose CSV is indexed by .jpg names must
+    still hit the box instead of silently scoring whole images."""
+    import pandas as pd
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    pd.DataFrame(
+        {"top": [4], "left": [6], "height": [10], "width": [12]},
+        index=["face_a.jpg"],
+    ).to_csv(hr_dir / "face_boundaries_0.csv")
+    a = rng.random((1, 32, 32, 1)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    data = metrics.load_boundary_data(str(hr_dir))
+    vals = metrics.true_face_psnr(a, b, ["face_a"], data, 1.0)
+    want = float(metrics.psnr(a[0, 4:14, 6:18, 0], b[0, 4:14, 6:18, 0], 1.0))
+    assert abs(vals[0] - want) < 1e-5
+
+
 def test_metrics_hub_face_psnr(tmp_path, rng):
     hr_dir, a, b = _boundary_fixture(tmp_path, rng)
     hub = metrics.Metrics(["PSNR", "face_PSNR", "true_face_PSNR"],

@@ -265,6 +265,20 @@ def test_dataset_uvtex_masks(tmp_path, rng):
     assert item["mask"].shape == item["hr"].shape
     np.testing.assert_array_equal(np.unique(item["mask"]), [0.0, 1.0])
 
+    # masks SMALLER than the HR frame come back zero-padded and centered
+    # (PIL .crop out-of-bounds semantics, the reference's center_crop)
+    small_dir = tmp_path / "small_masks"
+    small_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(np.full((16, 16, 3), 255, np.uint8)).save(
+            small_dir / f"f{i}.png")
+    ds_small = SuperResImages(lr_dir=str(lr_dir), hr_dir=str(hr_dir),
+                              scale=2, mask_data=str(small_dir))
+    m = ds_small[0]["mask"]
+    assert m.shape == ds_small[0]["hr"].shape == (32, 32, 3)
+    assert m[8:24, 8:24].min() == 1.0  # centered payload
+    assert m[:8].max() == 0.0 and m[24:].max() == 0.0  # zero pad
+
 
 def test_online_degradation_pads_undersized_images(tmp_path, rng):
     """Images smaller than crop*scale reflect-pad up to the patch size in
