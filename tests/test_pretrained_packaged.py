@@ -1,0 +1,74 @@
+"""The SHIPPED packaged pretrained encoder (rumpy_tpu/pretrained/).
+
+Parity role: the reference ships warm-start checkpoints in-repo under
+regression/pretrained_networks/ and resolves bare names in
+warm_start_setup (regression/training/training_handler.py:92-118). Here
+the package is a real SupMoCo run trained with the fused on-device
+full-chain degradation pipeline (examples/predictor_pretrain_run.py);
+these tests pin that the artifact stays loadable through every consumer.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+PKG = "supmoco_fullchain_d256"
+PKG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "rumpy_tpu", "pretrained", PKG)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(PKG_DIR), reason="packaged network not present")
+
+
+def test_resolve_and_checkpoint_contents():
+    from rumpy_tpu.utils import checkpoint as ckpt
+    d = ckpt.resolve_packaged(PKG)
+    assert d == os.path.join(PKG_DIR, "saved_models")
+    ep = ckpt.select_epoch(d, "last")
+    raw = ckpt.load_checkpoint(ckpt.checkpoint_path(d, ep))
+    assert raw["model_name"] == "supmoco"
+    # minimal package: no optimizer state travels with it
+    assert not raw.get("optimizer")
+    for k in ("key_params", "q_bstats", "k_bstats", "queue"):
+        assert k in raw["extra"], k
+
+
+def test_training_actually_improved_clustering():
+    """The packaged summary.csv must show the run it came from learned
+    something: Davies-Bouldin (lower better) improves over epoch 0."""
+    import pandas as pd
+    df = pd.read_csv(os.path.join(PKG_DIR, "result_outputs",
+                                  "summary.csv"))
+    db = df["val-davies_bouldin"]
+    assert db.iloc[-1] < db.iloc[0] * 0.75
+    assert np.isfinite(df["train-loss"]).all()
+
+
+def test_bobw_loads_packaged_encoder_by_name():
+    """ContrastiveBlindQRCAN warm-starts its (frozen) encoder from the
+    bare packaged name — the BoBW flagship config path
+    (blind_sr.py::load_encoder, reference contrastive_blind_sr.py's
+    pre_trained_encoder_weights)."""
+    import jax.numpy as jnp
+
+    from rumpy_tpu.registry import get_model
+    h = get_model("contrastiveblindqrcan")(
+        scale=4, n_feats=8, n_resgroups=1, n_resblocks=2,
+        block_encoder_loading=True, lr=1e-4)
+    st = h.init_state()
+    st2 = h.load_encoder(st, PKG)
+    # loaded encoder params differ from random init...
+    before = st.extra.get("frozen_encoder") or st.params.get("encoder")
+    after = st2.extra.get("frozen_encoder") or st2.params.get("encoder")
+    import jax
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(before),
+                             jax.tree_util.tree_leaves(after))]
+    assert max(diffs) > 1e-4
+    # ...and its BatchNorm running stats came along (not mean-0/var-1)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 48, 48, 3)),
+                    jnp.float32)
+    sr = h.run_model(st2, x)
+    assert sr.shape == (1, 192, 192, 3)
+    assert bool(np.all(np.isfinite(np.asarray(sr))))
