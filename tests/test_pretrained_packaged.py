@@ -45,6 +45,55 @@ def test_training_actually_improved_clustering():
     assert np.isfinite(df["train-loss"]).all()
 
 
+def test_trainer_warm_start_from_packaged_name(tmp_path):
+    """training.warm_start = "<bare name>" through the REAL regression
+    trainer: the packaged query-encoder weights land in the new run's
+    initial state (reference warm_start_setup,
+    training_handler.py:92-118)."""
+    import jax
+    from PIL import Image
+
+    from rumpy_tpu.config.loader import to_none_dict
+    from rumpy_tpu.training.regression_trainer import \
+        RegressionTrainingHandler
+    from rumpy_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    for i in range(4):
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                        ).save(hr_dir / f"im{i}.png")
+    cfg = to_none_dict({
+        "experiment": "warmstarted",
+        "experiment_save_loc": str(tmp_path / "Results"),
+        "data": {"task_type": "regression", "scale": 2, "crop": 32,
+                 "dataloader_threads": 1,
+                 "online_degradations": {
+                     "pipeline": [["realesrganblur", "b"],
+                                  ["downsample", "d"]],
+                     "deg_configs": {
+                         "b": {"kernel_range": ["iso", "aniso"],
+                               "kernel_size": 9},
+                         "d": {"scale": 2}}},
+                 "training_sets": {"data_1": {"hr_dir": str(hr_dir)}}},
+        # arch must match the package exactly (fail-loud contract)
+        "model": {"name": "supmoco",
+                  "internal_params": {"dim": 256, "K": 8192}},
+        "training": {"num_epochs": 0, "batch_size": 2, "seed": 0,
+                     "warm_start": PKG},
+    })
+    h = RegressionTrainingHandler(cfg, verbose=False)
+    d = ckpt.resolve_packaged(PKG)
+    raw = ckpt.load_checkpoint(
+        ckpt.checkpoint_path(d, ckpt.select_epoch(d, "last")))
+    got = jax.tree_util.tree_leaves(h.model.state.params)
+    want = jax.tree_util.tree_leaves(raw["network"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_bobw_loads_packaged_encoder_by_name():
     """ContrastiveBlindQRCAN warm-starts its (frozen) encoder from the
     bare packaged name — the BoBW flagship config path
