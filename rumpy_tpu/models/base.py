@@ -48,6 +48,11 @@ class TrainState(struct.PyTreeNode):
 
 def build_schedule(lr: float, scheduler: Optional[str],
                    sp: Optional[Dict[str, Any]] = None):
+    """Reference scheduler vocabulary (base_architecture.py:105-186),
+    stepped per OPTIMIZER step as the reference does (scheduler.step()
+    inside standard_update, base_architecture.py:440). The custom
+    lambdas keep torch LambdaLR semantics: returned values MULTIPLY the
+    base lr."""
     sp = dict(sp or {})
     if scheduler is None:
         return lr
@@ -60,17 +65,79 @@ def build_schedule(lr: float, scheduler: Optional[str],
         gamma = sp.get("gamma", 0.1)
         step_size = int(sp.get("step_size", 1000))
         return lambda t: lr * gamma ** (t // step_size)
-    if scheduler == "cosine_warm_restarts":
+    if scheduler in ("cosine_annealing_warm_restarts",
+                     "cosine_warm_restarts"):
         t0 = int(sp.get("restart_period", sp.get("t_0", 100000)))
-        eta_min = sp.get("eta_min", 1e-7)
-        def sched(t):
-            frac = (t % t0) / t0
-            return eta_min + (lr - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        t_mult = int(sp.get("t_mult", 1))
+        eta_min = sp.get("lr_min", sp.get("eta_min", 1e-7))
+        if t_mult == 1:
+            def sched(t):
+                frac = (t % t0) / t0
+                return eta_min + (lr - eta_min) * 0.5 * (
+                    1 + jnp.cos(jnp.pi * frac))
+        else:
+            def sched(t):
+                # torch CosineAnnealingWarmRestarts with T_mult > 1:
+                # cycle i spans T0*T_mult^i steps starting at
+                # T0*(T_mult^i - 1)/(T_mult - 1)
+                t = jnp.asarray(t, jnp.float32)
+                n = jnp.floor(jnp.log(t / t0 * (t_mult - 1) + 1.0)
+                              / jnp.log(float(t_mult)))
+                start = t0 * (t_mult ** n - 1.0) / (t_mult - 1.0)
+                frac = (t - start) / (t0 * t_mult ** n)
+                return eta_min + (lr - eta_min) * 0.5 * (
+                    1 + jnp.cos(jnp.pi * frac))
         return sched
-    if scheduler == "one_cycle":
+    if scheduler in ("one_cycle_lr", "one_cycle"):
+        # torch OneCycleLR's exact two-phase anneal (its phase endpoints
+        # are pct_start*total-1 and total-1, which optax's onecycle
+        # schedules shift by one step)
         total = int(sp.get("total_steps", 100000))
-        return optax.cosine_onecycle_schedule(
-            transition_steps=total, peak_value=sp.get("max_lr", lr * 10))
+        peak = float(sp.get("lr_max", sp.get("max_lr", lr * 10)))
+        div = float(sp.get("div_factor", 25.0))
+        fdiv = float(sp.get("final_div_factor", 1e4))
+        initial = peak / div
+        min_lr = initial / fdiv
+        peak_step = float(sp.get("pct_start", 0.3)) * total - 1
+        end_step = float(total - 1)
+        linear = sp.get("anneal_strategy", "cos") == "linear"
+
+        def _anneal(a, b, pct):
+            if linear:
+                return a + (b - a) * pct
+            return b + (a - b) * 0.5 * (1 + jnp.cos(jnp.pi * pct))
+
+        def sched(t):
+            t = jnp.asarray(t, jnp.float32)
+            up = _anneal(initial, peak, t / peak_step)
+            down = _anneal(peak, min_lr,
+                           (t - peak_step) / (end_step - peak_step))
+            return jnp.where(t <= peak_step, up, down)
+        return sched
+    if scheduler == "custom_dasr":
+        train_type = sp.get("train_type")
+
+        def _dasr(t, warm, drop, c0, cd):
+            t = jnp.asarray(t, jnp.float32)
+            cyc = jnp.maximum(jnp.floor((t - c0) / cd), 0.0)
+            lam = jnp.where(t < warm, 1e-3,
+                            jnp.where(t < drop, 1e-4,
+                                      1e-4 * jnp.power(0.5, cyc)))
+            return lr * lam
+
+        if train_type == "long":
+            return lambda t: _dasr(t, 60, 225, 100, 125)
+        if train_type == "short":
+            return lambda t: _dasr(t, 21, 79, 35, 44)
+        if train_type == "no_encoder_long":
+            return lambda t: _dasr(t, 0, 225, 100, 125)
+        raise ValueError("Need to select from long or short scheduler "
+                         "type for DASR.")
+    if scheduler == "custom_contrastive":
+        return lambda t: lr * jnp.where(jnp.asarray(t) < 260, 0.1, 5e-4)
+    if scheduler == "custom":
+        fn = sp["function"]  # jnp-traceable callable of the step count
+        return lambda t: lr * fn(t)
     if scheduler == "cosine":
         total = int(sp.get("total_steps", 100000))
         return optax.cosine_decay_schedule(lr, total,

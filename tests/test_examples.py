@@ -30,6 +30,8 @@ def test_degradation_example_builds():
     ("train_rcan_blind_x4.toml", "rcan"),
     ("train_qrcan_meta_attention.toml", "qrcan"),
     ("train_supmoco_predictor.toml", "supmoco"),
+    ("train_bobw_rcan_supmoco.toml", "contrastiveblindqrcan"),
+    ("train_dan_qrcan_blind.toml", "dan"),
 ])
 def test_training_example_models_build(name, model):
     from rumpy_tpu.config.loader import load_config

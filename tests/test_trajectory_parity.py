@@ -386,3 +386,97 @@ def test_esrgan_phase_boundary_trajectory(torch, rng):
                           atol=1e-3)
     print(f"ESRGAN boundary trajectory: final G/D param worst deltas "
           f"{worst_g:.2e}/{worst_d:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# (d) Scheduler-vocabulary parity vs the torch factory semantics
+# ---------------------------------------------------------------------------
+
+def test_scheduler_vocabulary_matches_torch(torch):
+    """Every reference scheduler spelling (base_architecture.py:105-186)
+    produces the same per-optimizer-step lr as the torch scheduler it
+    names, including torch LambdaLR's multiply-the-base-lr semantics for
+    the custom lambdas and CosineAnnealingWarmRestarts' growing cycles
+    (T_mult > 1)."""
+    from rumpy_tpu.models.base import build_schedule
+
+    def torch_lrs(make_sched, base_lr, steps):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=base_lr)
+        sch = make_sched(opt)
+        out = []
+        for _ in range(steps):
+            out.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sch.step()
+        return np.asarray(out)
+
+    steps, lr = 700, 1e-4
+
+    # cosine_annealing_warm_restarts, T_mult 1 and 2
+    for t_mult in (1, 2):
+        want = torch_lrs(
+            lambda o: torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+                o, T_0=100, T_mult=t_mult, eta_min=1e-7), lr, steps)
+        sched = build_schedule(lr, "cosine_annealing_warm_restarts",
+                               {"restart_period": 100, "t_mult": t_mult,
+                                "lr_min": 1e-7})
+        got = np.asarray([float(sched(t)) for t in range(steps)])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12,
+                                   err_msg=f"t_mult={t_mult}")
+
+    # custom_dasr lambdas (LambdaLR: lr = base_lr * lambda(step))
+    import math
+
+    def dasr_long(e):
+        if e < 60:
+            return 1e-3
+        if e < 225:
+            return 1e-4
+        return 1e-4 * math.pow(0.5, (e - 100) // 125)
+
+    def dasr_short(e):
+        if e < 21:
+            return 1e-3
+        if e < 79:
+            return 1e-4
+        return 1e-4 * math.pow(0.5, (e - 35) // 44)
+
+    def dasr_noenc(e):
+        if e < 225:
+            return 1e-4
+        return 1e-4 * math.pow(0.5, (e - 100) // 125)
+
+    for train_type, lam in (("long", dasr_long), ("short", dasr_short),
+                            ("no_encoder_long", dasr_noenc)):
+        want = torch_lrs(
+            lambda o: torch.optim.lr_scheduler.LambdaLR(o, lr_lambda=lam),
+            lr, steps)
+        sched = build_schedule(lr, "custom_dasr",
+                               {"train_type": train_type})
+        got = np.asarray([float(sched(t)) for t in range(steps)])
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=train_type)
+
+    # custom_contrastive
+    want = torch_lrs(
+        lambda o: torch.optim.lr_scheduler.LambdaLR(
+            o, lr_lambda=lambda b: 0.1 if b < 260 else 5e-4), 0.1, steps)
+    sched = build_schedule(0.1, "custom_contrastive", {})
+    got = np.asarray([float(sched(t)) for t in range(steps)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # one_cycle_lr (cos strategy; optax defaults == torch defaults)
+    want = torch_lrs(
+        lambda o: torch.optim.lr_scheduler.OneCycleLR(
+            o, max_lr=1e-3, total_steps=steps, anneal_strategy="cos"),
+        lr, steps)
+    sched = build_schedule(lr, "one_cycle_lr",
+                           {"lr_max": 1e-3, "total_steps": steps,
+                            "anneal_strategy": "cos"})
+    got = np.asarray([float(sched(t)) for t in range(steps)])
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    # custom: user-supplied traceable lambda
+    sched = build_schedule(2.0, "custom", {"function": lambda t: t + 1})
+    assert float(sched(4)) == 10.0
