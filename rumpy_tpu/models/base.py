@@ -149,17 +149,31 @@ def build_optimizer(lr: float = 1e-4, optimizer_type: str = "adam",
                     scheduler: Optional[str] = None,
                     scheduler_params: Optional[Dict[str, Any]] = None,
                     grad_clip: Optional[float] = None,
-                    weight_decay: float = 0.0) -> optax.GradientTransformation:
+                    weight_decay: float = 0.0,
+                    optimizer_params: Optional[Dict[str, Any]] = None
+                    ) -> optax.GradientTransformation:
+    """Reference optimizer factory vocabulary (define_optimizer,
+    base_architecture.py:79-103): case-insensitive type names, adam
+    betas via optimizer_params {beta_1, beta_2}, rmsprop smoothing via
+    {alpha} (torch default 0.99)."""
     schedule = build_schedule(lr, scheduler, scheduler_params)
+    op = dict(optimizer_params or {})
+    optimizer_type = optimizer_type.lower()
     if optimizer_type == "adam":
-        opt = optax.adam(schedule, b1=0.9, b2=0.999)
+        opt = optax.adam(schedule, b1=op.get("beta_1", 0.9),
+                         b2=op.get("beta_2", 0.999))
     elif optimizer_type == "adamw":
-        opt = optax.adamw(schedule, weight_decay=weight_decay)
+        opt = optax.adamw(schedule, b1=op.get("beta_1", 0.9),
+                          b2=op.get("beta_2", 0.999),
+                          weight_decay=weight_decay)
     elif optimizer_type == "rmsprop":
-        opt = optax.rmsprop(schedule)
+        # eps_in_sqrt=False: torch adds eps OUTSIDE the sqrt
+        opt = optax.rmsprop(schedule, decay=op.get("alpha", 0.99),
+                            eps_in_sqrt=False)
     elif optimizer_type == "sgd":
-        opt = optax.sgd(schedule, momentum=scheduler_params.get("momentum", 0.9)
-                        if scheduler_params else 0.9)
+        opt = optax.sgd(schedule, momentum=op.get(
+            "momentum", scheduler_params.get("momentum", 0.9)
+            if scheduler_params else 0.9))
     else:
         raise ValueError(f"Unknown optimizer {optimizer_type!r}")
     chain = []
@@ -202,6 +216,7 @@ class BaseHandler:
                  loss: Optional[str] = None,
                  dtype: str = "float32",
                  seed: int = 0,
+                 optimizer_params: Optional[Dict[str, Any]] = None,
                  **model_kwargs):
         self.scale = scale
         self.in_features = in_features
@@ -213,7 +228,8 @@ class BaseHandler:
         self.model_kwargs = model_kwargs
         self.module = self.build_module(**model_kwargs)
         self.tx = build_optimizer(lr, optimizer_type, scheduler,
-                                  scheduler_params, grad_clip)
+                                  scheduler_params, grad_clip,
+                                  optimizer_params=optimizer_params)
         self.seed = seed
         # Optional batch pre-transform traced INTO the train step (e.g. the
         # fused on-device degradation pipeline: hr -> (lr, metadata)).

@@ -480,3 +480,53 @@ def test_scheduler_vocabulary_matches_torch(torch):
     # custom: user-supplied traceable lambda
     sched = build_schedule(2.0, "custom", {"function": lambda t: t + 1})
     assert float(sched(4)) == 10.0
+
+
+def test_optimizer_vocabulary_matches_torch(torch):
+    """define_optimizer parity (base_architecture.py:79-103):
+    case-insensitive names ('Adam' is the reference's default spelling),
+    optimizer_params {beta_1, beta_2} for adam and {alpha} for rmsprop,
+    pinned by 20-step trajectories on a quadratic against torch."""
+    import jax
+    import jax.numpy as jnp
+
+    from rumpy_tpu.models.base import build_optimizer
+
+    w0 = np.linspace(-1.0, 1.0, 8).astype(np.float32)
+
+    def jax_traj(tx):
+        w = jnp.asarray(w0)
+        state = tx.init(w)
+        for _ in range(20):
+            g = 2 * w + 0.3 * jnp.sin(w)  # d/dw (w^2 + ...)
+            up, state = tx.update(g, state, w)
+            w = w + up
+        return np.asarray(w)
+
+    def torch_traj(make_opt):
+        w = torch.nn.Parameter(torch.tensor(w0))
+        opt = make_opt([w])
+        for _ in range(20):
+            opt.zero_grad()
+            loss = (w ** 2 + 0.3 * -torch.cos(w)).sum()
+            loss.backward()
+            opt.step()
+        return w.detach().numpy()
+
+    got = jax_traj(build_optimizer(1e-2, "Adam",
+                                   optimizer_params={"beta_1": 0.5,
+                                                     "beta_2": 0.99}))
+    want = torch_traj(lambda p: torch.optim.Adam(p, lr=1e-2,
+                                                 betas=(0.5, 0.99)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    got = jax_traj(build_optimizer(1e-2, "rmsprop",
+                                   optimizer_params={"alpha": 0.95}))
+    want = torch_traj(lambda p: torch.optim.RMSprop(p, lr=1e-2,
+                                                    alpha=0.95))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # torch defaults with no optimizer_params
+    got = jax_traj(build_optimizer(1e-2, "RMSprop"))
+    want = torch_traj(lambda p: torch.optim.RMSprop(p, lr=1e-2))
+    np.testing.assert_allclose(got, want, atol=1e-6)
