@@ -60,6 +60,7 @@ class SuperResImages:
                  dataset: Optional[str] = None,
                  split: Optional[str] = None,
                  custom_split: Optional[Sequence[int]] = None,
+                 image_shortlist: Optional[str] = None,
                  recursive_search: bool = False,
                  input: str = "unmodified",
                  colorspace: str = "rgb",
@@ -80,6 +81,11 @@ class SuperResImages:
                  predefined_patch_locations=None,
                  predefined_patch_location: Optional[str] = None,
                  augmentations: bool = False,
+                 use_hflip: bool = True,
+                 use_vflip: bool = True,
+                 use_rotation: bool = True,
+                 use_random_colour_distort: bool = False,
+                 colour_distortion_strength: float = 1.0,
                  online_degradations: bool = False,
                  degradation_pipeline=None,
                  mask_data: Optional[str] = None,
@@ -97,6 +103,17 @@ class SuperResImages:
         self.patch_file = (self._read_patch_file(predefined_patch_location)
                            if predefined_patch_location else None)
         self.augmentations = augmentations
+        # per-dataset augmentation switches (reference data_setup.py:140-148,
+        # applied in image_augment_crop, data_handler.py:574-587)
+        self.use_hflip = use_hflip
+        self.use_vflip = use_vflip
+        self.use_rotation = use_rotation
+        self.use_random_colour_distort = use_random_colour_distort
+        self.colour_distortion_strength = colour_distortion_strength
+        if use_random_colour_distort and colorspace != "rgb":
+            raise ValueError("use_random_colour_distort operates on RGB "
+                             "images (the reference distorts the PIL "
+                             "image before any colorspace transform)")
         self.online_degradations = online_degradations
         self.degradation_pipeline = degradation_pipeline
         self.requested_metadata = list(metadata) if metadata else None
@@ -121,13 +138,28 @@ class SuperResImages:
                          and int(_QTAG.search(os.path.basename(f)).group(1))
                          in keep)]
 
-        # split selection over the sorted listing
-        if dataset is not None and split is not None:
-            lo, hi = dataset_splits[dataset][split]
-            files = files[lo:hi]
-        elif custom_split is not None:
+        # split selection over the sorted listing; precedence follows the
+        # reference's dataset_split (data_handler.py:406-442):
+        # custom_split > named split (unless a shortlist is given) >
+        # shortlist text file of images to retain
+        if custom_split is not None:
             lo, hi = custom_split
             files = files[lo:hi]
+        elif image_shortlist is None and dataset is not None \
+                and split is not None:
+            lo, hi = dataset_splits[dataset][split]
+            files = files[lo:hi]
+        elif image_shortlist is not None:
+            keep = set()
+            with open(image_shortlist) as fh:
+                for line in fh:
+                    p = line.strip()
+                    if p:
+                        keep.add(os.path.relpath(p, base_dir)
+                                 if base_dir in p else p)
+            files = [f for f in files
+                     if os.path.relpath(f, base_dir) in keep
+                     or os.path.basename(f) in keep]
 
         if blacklist:
             banned = set(os.path.basename(b) for b in blacklist)
@@ -225,9 +257,9 @@ class SuperResImages:
         return x
 
     def _augment(self, *imgs: np.ndarray) -> List[np.ndarray]:
-        hflip = self._rng.random() < 0.5
-        vflip = self._rng.random() < 0.5
-        rot = self._rng.random() < 0.5
+        hflip = self.use_hflip and self._rng.random() < 0.5
+        vflip = self.use_vflip and self._rng.random() < 0.5
+        rot = self.use_rotation and self._rng.random() < 0.5
 
         def f(a):
             if hflip:
@@ -238,6 +270,21 @@ class SuperResImages:
                 a = a.transpose(1, 0, 2)
             return np.ascontiguousarray(a)
         return [f(i) for i in imgs]
+
+    def _colour_distort(self, *imgs: np.ndarray) -> List[np.ndarray]:
+        """SimCLR colour distortion (reference image_augment_crop,
+        data_handler.py:578-587): one set of jitter draws applied to
+        every image passed together, so an LR/HR pair stays
+        photometrically aligned."""
+        import jax
+        import jax.numpy as jnp
+
+        from rumpy_tpu.ops.color_aug import colour_distortion
+        key = jax.random.PRNGKey(int(self._rng.integers(2 ** 31)))
+        return [np.asarray(colour_distortion(
+            key, jnp.asarray(im, jnp.float32)[None],
+            dist_strength=self.colour_distortion_strength)[0])
+            for im in imgs]
 
     @staticmethod
     def _read_patch_file(path: str) -> Dict[str, List[Tuple[int, int]]]:
@@ -324,6 +371,8 @@ class SuperResImages:
                 hr_f = self._colorspace_convert(hr)
                 if self.augmentations:
                     hr_f, = self._augment(hr_f)
+                    if self.use_random_colour_distort:
+                        hr_f, = self._colour_distort(hr_f)
                 return hr_f.astype(np.float32)
 
             if self.crop is not None and self.crop_count > 1:
@@ -357,6 +406,14 @@ class SuperResImages:
 
         lr_f = self._colorspace_convert(lr)
         hr_f = self._colorspace_convert(hr) if hr is not None else None
+
+        # colour distortion runs whole-image before any cropping, the
+        # reference's order (image_augment_crop distorts then crops)
+        if self.augmentations and self.use_random_colour_distort:
+            if hr_f is not None:
+                lr_f, hr_f = self._colour_distort(lr_f, hr_f)
+            else:
+                lr_f, = self._colour_distort(lr_f)
 
         if self.crop is not None and self.crop_count > 1:
             # Multi-crop mode (ClassifierImages / contrastive training,

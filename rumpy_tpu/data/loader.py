@@ -168,8 +168,33 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
         if not sets_cfg:
             return None
         datasets = []
+        # reference per-dataset key vocabulary (its sample configs +
+        # data_setup.py:85-156) translated to this data layer's names
+        aliases = {"lr": "lr_dir", "hr": "hr_dir", "name": "dataset",
+                   "degradation_metadata": "metadata_file",
+                   "qpi_values": "metadata_file",
+                   "random_crop": "crop",
+                   "random_augment": "augmentations",
+                   "random_augments": "augmentations",
+                   "request_crops": "crop_count",
+                   "patch_selection_type": "patch_type",
+                   "degradation_metadata_file": "metadata_file"}
         for name in sorted(sets_cfg.keys()):
             ds_cfg = dict(sets_cfg[name])
+            for old, new in aliases.items():
+                if old in ds_cfg:
+                    v = ds_cfg.pop(old)
+                    if v is not None and new not in ds_cfg:
+                        ds_cfg[new] = v
+            cutoff = ds_cfg.pop("cutoff", None)
+            if cutoff is not None and "custom_split" not in ds_cfg:
+                ds_cfg["custom_split"] = (list(cutoff)
+                                          if isinstance(cutoff, (list, tuple))
+                                          else (0, int(cutoff)))
+            # named datasets default to the split their table sits in,
+            # as the reference's setup_data(data_set, split) does
+            if ds_cfg.get("dataset") is not None:
+                ds_cfg.setdefault("split", "train" if is_train else "eval")
             ds_cfg.setdefault("scale", scale)
             ds_cfg.setdefault("input", input)
             # eval sets stay RGB: the interface's net_run_and_process owns

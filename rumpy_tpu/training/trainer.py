@@ -44,12 +44,30 @@ class TrainingHandler:
         train_cfg = config.get("training") or {}
 
         self.seed = int(train_cfg.get("seed") or 0)
+        # num_epochs counts epochs to run FROM the resume point;
+        # epoch_cutoff is the absolute total including previously-run
+        # epochs (reference base_handler.py:150-152, :333)
         self.num_epochs = int(train_cfg.get("num_epochs") or 1)
+        self.epoch_cutoff = train_cfg.get("epoch_cutoff")
         self.metrics_list = list(train_cfg.get("metrics")
                                  or ["PSNR", "SSIM"])
         self.early_stopping_patience = train_cfg.get("early_stopping_patience")
         self.best_metric = train_cfg.get("best_metric") or "val-PSNR"
         self.aggressive_cleanup = bool(train_cfg.get("aggressive_cleanup"))
+        # reference training-kwarg vocabulary (base_handler.py:38-95):
+        # separate early-stopping / cleanup metrics, periodic cleanup,
+        # eval every N epochs, sample-save gate, metric peak value
+        self.early_stopping_metric = (train_cfg.get("early_stopping_metric")
+                                      or self.best_metric)
+        self.cleanup_metric = (train_cfg.get("cleanup_metric")
+                               or self.best_metric)
+        self.model_cleanup_frequency = train_cfg.get(
+            "model_cleanup_frequency")
+        self.eval_frequency = int(train_cfg.get("eval_frequency") or 1)
+        self.save_samples = (bool(train_cfg.get("save_samples"))
+                             if train_cfg.get("save_samples") is not None
+                             else True)
+        self.max_im_val = float(train_cfg.get("max_im_val") or 1.0)
         # [training] profile_steps = N: capture a jax.profiler device
         # trace of the first N steps of the first epoch into
         # result_outputs/profile/ (SURVEY §5 tracing; view with
@@ -57,6 +75,10 @@ class TrainingHandler:
         self.profile_steps = int(train_cfg.get("profile_steps") or 0)
 
         scale = int(data_cfg.get("scale") or 4)
+        # the reference's sample configs put batch_size under [data]
+        # (data_setup.py consumes it there); [training] wins if both set
+        self.batch_size = int(train_cfg.get("batch_size")
+                              or data_cfg.get("batch_size") or 8)
         load_epoch = train_cfg.get("continue_from_epoch")
 
         # model interface
@@ -82,8 +104,7 @@ class TrainingHandler:
         # mesh + sharding: data axis sized to divide the global batch
         if use_mesh:
             import math
-            bs = int(train_cfg.get("batch_size") or 8)
-            n = math.gcd(bs, len(jax.devices()))
+            n = math.gcd(self.batch_size, len(jax.devices()))
             self.mesh = mesh_mod.get_mesh(n_data=max(1, n))
         else:
             self.mesh = None
@@ -98,7 +119,7 @@ class TrainingHandler:
                     ds["online_degradations"] = True
         self.train_data, self.eval_data = sisr_data_setup(
             data_cfg, scale=scale,
-            batch_size=int(train_cfg.get("batch_size") or 8),
+            batch_size=self.batch_size,
             dataloader_threads=int(data_cfg.get("dataloader_threads") or 4),
             input=getattr(handler, "im_input", "unmodified"),
             colorspace=handler.colorspace,
@@ -310,10 +331,11 @@ class TrainingHandler:
                 else:
                     hr_y = hr_stack
                 sr_y = np.clip(np.asarray(ycc[..., :1]), 0, 1)
-                res = self.metric_hub.run_metrics(sr_y, hr_y, max_value=1.0)
+                res = self.metric_hub.run_metrics(
+                    sr_y, hr_y, max_value=self.max_im_val)
                 for k, v in res.items():
                     agg[f"val-{k}"].extend(v)
-                if first and self.model.logs_dir \
+                if first and self.save_samples and self.model.logs_dir \
                         and not self.model.no_directories:
                     # first val SR sample per epoch (base_handler.py:287-291)
                     from rumpy_tpu.utils.visualization import safe_image_save
@@ -325,9 +347,20 @@ class TrainingHandler:
 
     # ------------------------------------------------------------------
 
-    def _cleanup_checkpoints(self, best_epoch: int, last_epoch: int) -> None:
+    def _best_epoch_by(self, metric: str) -> int:
+        """Best epoch of this run under `metric`'s improve direction
+        (cleanup_metric semantics, reference base_handler.py:60-61)."""
+        d = metric_best_val.get(metric, "max")
+        vals = {e: r[metric] for e, r in self.stats.items() if metric in r}
+        if not vals:
+            return max(self.stats) if self.stats else 0
+        return (max if d == "max" else min)(vals, key=vals.get)
+
+    def _cleanup_checkpoints(self, best_epoch: int, last_epoch: int,
+                             force: bool = False) -> None:
         """Keep best-1 / best / best+1 / last (helper_functions.py:383-400)."""
-        if not self.aggressive_cleanup or not self.model.model_save_dir:
+        if not (self.aggressive_cleanup or force) \
+                or not self.model.model_save_dir:
             return
         keep = {best_epoch - 1, best_epoch, best_epoch + 1, last_epoch}
         for e in available_epochs(self.model.model_save_dir):
@@ -338,15 +371,18 @@ class TrainingHandler:
         self.model.save_metadata()
         self.model.model_structure_dump()
         start = self.model.model_epoch
-        direction = metric_best_val.get(self.best_metric, "max")
+        direction = metric_best_val.get(self.early_stopping_metric, "max")
         best_val = -np.inf if direction == "max" else np.inf
         best_epoch = start
         stale = 0
-        for epoch in range(start, self.num_epochs):
+        end = (int(self.epoch_cutoff) if self.epoch_cutoff is not None
+               else start + self.num_epochs)
+        for epoch in range(start, end):
             self.model.set_epoch(epoch)
             row: Dict[str, float] = {"epoch": epoch}
             row.update(self.train(epoch))
-            row.update(self.eval(epoch))
+            if epoch % self.eval_frequency == 0:
+                row.update(self.eval(epoch))
             self.stats[epoch] = row
             if self.model.logs_dir and not self.model.no_directories:
                 stats_mod.save_statistics(self.model.logs_dir, row)
@@ -362,7 +398,7 @@ class TrainingHandler:
                         self.tracker.track(v, name=k, epoch=epoch)
 
             # early stopping on the tracked metric plateau
-            track = row.get(self.best_metric)
+            track = row.get(self.early_stopping_metric)
             if track is not None:
                 improved = (track > best_val if direction == "max"
                             else track < best_val)
@@ -374,9 +410,13 @@ class TrainingHandler:
                         and stale >= self.early_stopping_patience):
                     if self.verbose:
                         print(f"early stopping at epoch {epoch} "
-                              f"(no {self.best_metric} improvement for "
-                              f"{stale} epochs)")
-                    self._cleanup_checkpoints(best_epoch, epoch)
+                              f"(no {self.early_stopping_metric} "
+                              f"improvement for {stale} epochs)")
+                    self._cleanup_checkpoints(
+                        self._best_epoch_by(self.cleanup_metric), epoch)
                     break
-            self._cleanup_checkpoints(best_epoch, epoch)
+            freq = self.model_cleanup_frequency
+            self._cleanup_checkpoints(
+                self._best_epoch_by(self.cleanup_metric), epoch,
+                force=bool(freq and (epoch + 1) % int(freq) == 0))
         return self.stats
