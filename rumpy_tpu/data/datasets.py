@@ -162,6 +162,12 @@ class SuperResImages:
                      or os.path.basename(f) in keep]
 
         if blacklist:
+            if isinstance(blacklist, str):
+                # reference blacklists are CSV files with an 'Images'
+                # column (data_handler.py:444-459)
+                import pandas as pd
+                blacklist = pd.read_csv(blacklist, header=[0])[
+                    "Images"].tolist()
             banned = set(os.path.basename(b) for b in blacklist)
             files = [f for f in files if os.path.basename(f) not in banned]
 

@@ -11,6 +11,7 @@ dispatch.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -162,7 +163,16 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
     [data.training_sets.data_N] / [data.eval_sets.data_N] tables
     (reference data_setup.py:61-207). Returns (train_loader, eval_loader)
     — either may be None."""
-    from rumpy_tpu.data.datasets import SuperResImages
+    from rumpy_tpu.data.datasets import SuperResImages, VideoSequenceImages
+
+    # data-level reference options (data_setup.py:61-160): per-dataset
+    # blacklist/attribute dicts keyed by dataset name, segmentation-mask
+    # extraction, VSR frame bundling, last-batch policy
+    blacklists = data_cfg.get("blacklists") or {}
+    attributes = data_cfg.get("attributes") or {}
+    extract_masks = bool(data_cfg.get("extract_masks"))
+    multi_frame_config = data_cfg.get("multi_frame_config")
+    drop_last_cfg = data_cfg.get("drop_last_training_batch")
 
     def build(sets_cfg, is_train):
         if not sets_cfg:
@@ -210,7 +220,19 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
                 ds_cfg.setdefault("metadata", metadata)
             ds_cfg.setdefault("seed", seed)
             ds_cfg.pop("name", None)
-            datasets.append(SuperResImages(**ds_cfg))
+            ds_name = ds_cfg.get("dataset")
+            if ds_name in blacklists:
+                ds_cfg.setdefault("blacklist", blacklists[ds_name])
+            if ds_name in attributes:
+                ds_cfg.setdefault("data_attributes", attributes[ds_name])
+            if extract_masks and ds_cfg.get("hr_dir"):
+                ds_cfg.setdefault("mask_data", os.path.join(
+                    ds_cfg["hr_dir"], "segmentation_patterns"))
+            if multi_frame_config is not None:
+                datasets.append(VideoSequenceImages(
+                    **dict(multi_frame_config), **ds_cfg))
+            else:
+                datasets.append(SuperResImages(**ds_cfg))
         ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
         sampler = None
         if is_train and sampler_attributes is not None:
@@ -223,7 +245,13 @@ def sisr_data_setup(data_cfg, scale: int = 4, batch_size: int = 8,
                 raise RuntimeError("Selected data sampler not recognized.")
         return DataLoader(
             ds, batch_size=batch_size if is_train else eval_batch_size,
-            shuffle=is_train and sampler is None, drop_last=is_train,
+            # drop_last default True on TPU (static batch shapes avoid a
+            # recompile on the ragged final batch — deviation from the
+            # reference's False default, overridable via
+            # drop_last_training_batch)
+            shuffle=is_train and sampler is None,
+            drop_last=is_train and (True if drop_last_cfg is None
+                                    else bool(drop_last_cfg)),
             num_workers=dataloader_threads, seed=seed, sampler=sampler)
 
     train = build(data_cfg.get("training_sets"), True)

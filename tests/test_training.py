@@ -396,3 +396,33 @@ def test_reference_training_kwargs(tmp_path, tiny_dataset):
     kept = set(available_epochs(str(exp / "saved_models")))
     assert kept == {e for e in (best - 1, best, best + 1, 3)
                     if 0 <= e <= 3}
+
+
+def test_data_level_options_blacklists_vsr_droplast(tmp_path, tiny_dataset):
+    """Data-level reference options (data_setup.py:61-160): 'blacklists'
+    dict of per-dataset CSV files (with an 'Images' column),
+    'multi_frame_config' routing to VideoSequenceImages, and
+    'drop_last_training_batch' overriding the TPU-default True."""
+    from rumpy_tpu.data.datasets import VideoSequenceImages
+    from rumpy_tpu.data.loader import sisr_data_setup
+    lr_dir, hr_dir = tiny_dataset
+    bl = tmp_path / "blacklist.csv"
+    pd.DataFrame({"Images": ["im0.png"]}).to_csv(bl, index=False)
+    train, _ = sisr_data_setup(
+        {"training_sets": {"data_1": {
+            "lr": lr_dir, "hr": hr_dir, "name": "div2k",
+            "custom_split": (0, 4)}},
+         "blacklists": {"div2k": str(bl)},
+         "drop_last_training_batch": False},
+        scale=2, batch_size=3, dataloader_threads=0, crop=8)
+    assert len(train.dataset) == 3  # im0 blacklisted
+    assert train.drop_last is False
+    batches = list(train)
+    assert sum(len(b["tag"]) for b in batches) == 3  # ragged last kept
+
+    train_vsr, _ = sisr_data_setup(
+        {"training_sets": {"data_1": {"lr": lr_dir, "hr": hr_dir}},
+         "multi_frame_config": {"num_frames": 3}},
+        scale=2, batch_size=1, dataloader_threads=0)
+    assert isinstance(train_vsr.dataset, VideoSequenceImages)
+    assert next(iter(train_vsr))["lr"].shape[-1] == 9  # 3 frames x RGB
