@@ -52,11 +52,11 @@ def generate_eval_set(workdir: str, seed: int) -> str:
 
 
 def write_config(workdir: str, hr_dir: str, eval_dir: str,
-                 epochs: int, batch: int) -> str:
+                 epochs: int, batch: int, model: str = "supmoco") -> str:
     from rumpy_tpu.config.loader import dump_toml
     spec = PIPELINES["fullchain"]
     cfg = {
-        "experiment": "supmoco_pretrain",
+        "experiment": f"{model}_pretrain",
         "experiment_save_loc": os.path.join(workdir, "Results"),
         "data": {
             "task_type": "regression",
@@ -71,7 +71,7 @@ def write_config(workdir: str, hr_dir: str, eval_dir: str,
             "online_degradations": spec,
         },
         "model": {
-            "name": "supmoco",
+            "name": model,
             "internal_params": {"dim": 256, "K": 8192, "lr": 1e-3},
         },
         "training": {
@@ -85,11 +85,11 @@ def write_config(workdir: str, hr_dir: str, eval_dir: str,
     return path
 
 
-def package(workdir: str, name: str) -> str:
+def package(workdir: str, name: str, model: str = "supmoco") -> str:
     """Mirror warm_start_setup's copyfiles contract: config + summary.csv
     + the last saved_models checkpoint, re-saved minimal (no optimizer)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    exp = os.path.join(workdir, "Results", "supmoco_pretrain")
+    exp = os.path.join(workdir, "Results", f"{model}_pretrain")
     dst = os.path.join(repo, "rumpy_tpu", "pretrained", name)
     os.makedirs(os.path.join(dst, "saved_models"), exist_ok=True)
     os.makedirs(os.path.join(dst, "result_outputs"), exist_ok=True)
@@ -127,6 +127,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--package", default=None,
                     help="package the trained net under this name")
+    ap.add_argument("--model", default="supmoco",
+                    choices=("supmoco", "weakcon", "moco"))
     ap.add_argument("--platform", choices=("default", "cpu"),
                     default="default",
                     help="cpu = pin the CPU backend IN-PYTHON (the env "
@@ -143,7 +145,7 @@ def main():
     hr_dir = stage_data(args.workdir, args.copies)
     eval_dir = generate_eval_set(args.workdir, seed=2024)
     cfg = write_config(args.workdir, hr_dir, eval_dir, args.epochs,
-                       args.batch)
+                       args.batch, model=args.model)
 
     from click.testing import CliRunner
 
@@ -154,7 +156,8 @@ def main():
     assert r.exit_code == 0
 
     import pandas as pd
-    summary = os.path.join(args.workdir, "Results", "supmoco_pretrain",
+    summary = os.path.join(args.workdir, "Results",
+                           f"{args.model}_pretrain",
                            "result_outputs", "summary.csv")
     df = pd.read_csv(summary)
     cols = [c for c in df.columns
@@ -163,7 +166,7 @@ def main():
     print("\n" + df[cols].to_string(index=False))
 
     if args.package:
-        package(args.workdir, args.package)
+        package(args.workdir, args.package, model=args.model)
 
 
 if __name__ == "__main__":

@@ -51,12 +51,21 @@ class RegressionTrainingHandler(TrainingHandler):
 
             from rumpy_tpu.registry import get_model
             try:
-                sig = inspect.signature(
-                    get_model(model_cfg.get("name") or ""))
-                par = (sig.parameters.get("positives_per_class")
-                       or sig.parameters.get("positives"))
-                if par is not None and par.default is not inspect.Parameter.empty:
-                    positives = par.default
+                # walk the MRO: subclasses like WeakCon(vector_size=2,
+                # **kwargs) inherit positives_per_class from SupMoCo's
+                # __init__ without re-declaring it
+                for klass in inspect.getmro(
+                        get_model(model_cfg.get("name") or "")):
+                    init = klass.__dict__.get("__init__")
+                    if init is None:
+                        continue
+                    sig = inspect.signature(init)
+                    par = (sig.parameters.get("positives_per_class")
+                           or sig.parameters.get("positives"))
+                    if par is not None \
+                            and par.default is not inspect.Parameter.empty:
+                        positives = par.default
+                        break
             except KeyError:
                 pass
         self._positives = int(positives or 1)

@@ -149,6 +149,18 @@ def test_positives_default_derived_from_handler(tmp_path, degraded_dataset):
     stats = h.run_experiment()
     assert np.isfinite(stats[0]["train-loss"])
 
+    # WeakCon declares only vector_size in ITS __init__ and inherits
+    # positives_per_class from SupMoCo — the default must be found via
+    # the MRO, not the leaf signature (a leaf-only lookup built 2-crop
+    # batches that crashed the (n, positives, dim) key reshape)
+    cfg_w = _config(tmp_path, degraded_dataset, "weakcon",
+                    {"K": 8, "dim": 32})
+    cfg_w["experiment"] = "weakcon_positives"
+    h_w = RegressionTrainingHandler(cfg_w, verbose=False)
+    assert h_w._positives == 4
+    stats = h_w.run_experiment()
+    assert np.isfinite(stats[0]["train-loss"])
+
 
 def test_warm_start_unknown_name_fails_loud(tmp_path, degraded_dataset):
     """Bare warm_start names resolve against rumpy_tpu/pretrained/<name>
