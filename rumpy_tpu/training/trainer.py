@@ -169,7 +169,15 @@ class TrainingHandler:
                 # trainer degrades query/key views itself on device
                 pass
 
-        self.metric_hub = Metrics(self.metrics_list)
+        # face-boundary metrics read face_boundaries_0.csv from the first
+        # eval set's HR dir (reference Metrics.__init__, metrics.py:78-88);
+        # LPIPS needs converted weights ([training] lpips_weights)
+        eval_sets = data_cfg.get("eval_sets") or {}
+        first_eval = (next(iter(eval_sets.values())) if eval_sets else {})
+        self.metric_hub = Metrics(
+            self.metrics_list,
+            lpips_weights=train_cfg.get("lpips_weights"),
+            hr_data_loc=(first_eval.get("hr_dir") or first_eval.get("hr")))
         self.stats: Dict[int, Dict[str, float]] = {}
 
         # Optional Aim experiment tracking (reference base_handler.py:182-204
@@ -305,8 +313,10 @@ class TrainingHandler:
                 # bucket by LR shape AND metadata shape: mixing CSV-backed
                 # and metadata-less eval sets must not land in one stack
                 mshape = None if meta is None else tuple(np.shape(meta))
+                tag_i = batch["tag"][i] if "tag" in batch else f"im{i}"
                 groups[(lr.shape, mshape)].append(
-                    (lr, np.asarray(hr), meta))
+                    (lr, np.asarray(hr), meta,
+                     os.path.splitext(str(tag_i))[0]))
 
         from rumpy_tpu.utils.color import rgb_to_ycbcr
         first = True
@@ -332,7 +342,11 @@ class TrainingHandler:
                     hr_y = hr_stack
                 sr_y = np.clip(np.asarray(ycc[..., :1]), 0, 1)
                 res = self.metric_hub.run_metrics(
-                    sr_y, hr_y, max_value=self.max_im_val)
+                    sr_y, hr_y, max_value=self.max_im_val,
+                    probe_names=[it[3] for it in part],
+                    rgb_a=np.clip(np.asarray(rgb), 0, 1),
+                    rgb_ref=(hr_stack if hr_stack.shape[-1] == 3
+                             else None))
                 for k, v in res.items():
                     agg[f"val-{k}"].extend(v)
                 if first and self.save_samples and self.model.logs_dir \

@@ -426,3 +426,24 @@ def test_data_level_options_blacklists_vsr_droplast(tmp_path, tiny_dataset):
         scale=2, batch_size=1, dataloader_threads=0)
     assert isinstance(train_vsr.dataset, VideoSequenceImages)
     assert next(iter(train_vsr))["lr"].shape[-1] == 9  # 3 frames x RGB
+
+
+def test_face_psnr_metric_during_training(tmp_path, tiny_dataset):
+    """[training] metrics can include face_PSNR/true_face_PSNR: boundary
+    boxes load from the eval set's HR dir (face_boundaries_0.csv) and the
+    columns land in summary.csv — the reference wires its Metrics hub
+    into training eval the same way (base_handler.py:162-177)."""
+    lr_dir, hr_dir = tiny_dataset
+    pd.DataFrame(
+        {"top": [2, 2, 2, 2], "left": [2, 2, 2, 2],
+         "height": [8, 8, 8, 8], "width": [8, 8, 8, 8]},
+        index=[f"im{i}.png" for i in range(4)],
+    ).to_csv(os.path.join(hr_dir, "face_boundaries_0.csv"))
+    cfg = _config(tmp_path, lr_dir, hr_dir, num_epochs=1,
+                  metrics=["PSNR", "face_PSNR", "true_face_PSNR"])
+    h = TrainingHandler(cfg, verbose=False)
+    stats = h.run_experiment()
+    assert np.isfinite(stats[0]["val-face_PSNR"])
+    assert np.isfinite(stats[0]["val-true_face_PSNR"])
+    # the crop inside the box differs from the whole image score
+    assert stats[0]["val-true_face_PSNR"] != stats[0]["val-PSNR"]
