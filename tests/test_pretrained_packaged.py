@@ -14,32 +14,39 @@ import numpy as np
 import pytest
 
 PKG = "supmoco_fullchain_d256"
-PKG_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "rumpy_tpu", "pretrained", PKG)
+PRETRAINED_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "rumpy_tpu", "pretrained")
+PKG_DIR = os.path.join(PRETRAINED_ROOT, PKG)
+ALL_PKGS = (sorted(os.listdir(PRETRAINED_ROOT))
+            if os.path.isdir(PRETRAINED_ROOT) else [])
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(PKG_DIR), reason="packaged network not present")
 
 
-def test_resolve_and_checkpoint_contents():
+@pytest.mark.parametrize("pkg", ALL_PKGS)
+def test_resolve_and_checkpoint_contents(pkg):
+    """Every shipped package resolves by bare name and carries a
+    minimal checkpoint (no optimizer) with its contrastive state."""
     from rumpy_tpu.utils import checkpoint as ckpt
-    d = ckpt.resolve_packaged(PKG)
-    assert d == os.path.join(PKG_DIR, "saved_models")
+    d = ckpt.resolve_packaged(pkg)
+    assert d == os.path.join(PRETRAINED_ROOT, pkg, "saved_models")
     ep = ckpt.select_epoch(d, "last")
     raw = ckpt.load_checkpoint(ckpt.checkpoint_path(d, ep))
-    assert raw["model_name"] == "supmoco"
+    assert raw["model_name"] in ("supmoco", "weakcon", "moco")
     # minimal package: no optimizer state travels with it
     assert not raw.get("optimizer")
     for k in ("key_params", "q_bstats", "k_bstats", "queue"):
         assert k in raw["extra"], k
 
 
-def test_training_actually_improved_clustering():
+@pytest.mark.parametrize("pkg", ALL_PKGS)
+def test_training_actually_improved_clustering(pkg):
     """The packaged summary.csv must show the run it came from learned
     something: Davies-Bouldin (lower better) improves over epoch 0."""
     import pandas as pd
-    df = pd.read_csv(os.path.join(PKG_DIR, "result_outputs",
-                                  "summary.csv"))
+    df = pd.read_csv(os.path.join(PRETRAINED_ROOT, pkg,
+                                  "result_outputs", "summary.csv"))
     db = df["val-davies_bouldin"]
     assert db.iloc[-1] < db.iloc[0] * 0.75
     assert np.isfinite(df["train-loss"]).all()
