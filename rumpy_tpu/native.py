@@ -8,10 +8,11 @@ Components (see the .cpp header for the design rationale):
   * pil_resize  — bit-exact Pillow bicubic/bilinear (integer fixed point);
   * h264_intra  — real H.264 intra toolchain on YUV 4:2:0 (macroblock
     coding order, Intra_4x4 with all 9 modes + Intra_16x16 with the luma
-    DC Hadamard, RD mode decision with JM's lambda, shared per-MB chroma
-    mode, spec transform/quant tables, in-loop deblocking) — the JM
-    encoder_baseline.cfg IntraPeriod=1 path; only the RD rate term
-    approximates CAVLC (no bitstream is emitted);
+    DC Hadamard, RD mode decision with JM's lambda and table-exact CAVLC
+    rate, shared per-MB chroma mode, spec transform/quant tables, CAVLC
+    entropy coding, in-loop deblocking) — the JM encoder_baseline.cfg
+    IntraPeriod=1 path. h264_intra_encode additionally emits the real
+    Annex-B .264 stream, decoder-verified bit-exact vs libavcodec;
   * entropy_patch — host entropy patch selection for dataloader workers.
 """
 
@@ -65,6 +66,10 @@ def _load() -> ctypes.CDLL:
     lib.h264_intra_stats_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int, u8p,
                                         ctypes.POINTER(ctypes.c_int64)]
+    lib.h264_intra_encode_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, u8p, u8p, u8p,
+                                         ctypes.c_int64]
+    lib.h264_intra_encode_u8.restype = ctypes.c_int64
     lib.entropy_patch_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_int),
@@ -122,6 +127,34 @@ def h264_intra_stats(rgb: np.ndarray, qp: int):
     lib.h264_intra_stats_u8(rgb.ctypes.data_as(u8p), h, w, int(qp),
                             out.ctypes.data_as(u8p), stats)
     return out, {"n_mb": stats[0], "n_i16": stats[1], "nnz": stats[2]}
+
+
+def h264_intra_encode(rgb: np.ndarray, qp: int):
+    """H.264 intra compression with real bitstream emission: returns
+    (recon_rgb, annexb_bytes, (Y, Cb, Cr)) where annexb_bytes is a
+    decodable constrained-baseline .264 stream (SPS+PPS+IDR, CAVLC) and
+    the YUV planes are the cropped decoder output for the stream —
+    verified bit-exact against libavcodec in tests/test_native.py."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    out = np.empty_like(rgb)
+    yuv = np.empty(h * w + 2 * (h // 2) * (w // 2), np.uint8)
+    cap = h * w * 8 + 65536
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    for _ in range(2):
+        bs = np.empty(cap, np.uint8)
+        n = lib.h264_intra_encode_u8(
+            rgb.ctypes.data_as(u8p), h, w, int(qp),
+            out.ctypes.data_as(u8p), yuv.ctypes.data_as(u8p),
+            bs.ctypes.data_as(u8p), cap)
+        if n >= 0:
+            break
+        cap = -n
+    y = yuv[:h * w].reshape(h, w)
+    cb = yuv[h * w:h * w + (h // 2) * (w // 2)].reshape(h // 2, w // 2)
+    cr = yuv[h * w + (h // 2) * (w // 2):].reshape(h // 2, w // 2)
+    return out, bs[:n].tobytes(), (y.copy(), cb.copy(), cr.copy())
 
 
 def entropy_patch(gray_u8: np.ndarray, region: int = 10,

@@ -132,3 +132,82 @@ def test_native_h264_plane_mode_gradient_fidelity():
     out = native.h264_intra(grad, 40)
     mse = np.mean((out.astype(float) - grad.astype(float)) ** 2)
     assert mse < 25.0, mse
+
+
+# ---------------------------------------------------------------------------
+# Bitstream bit-exactness vs an independent third-party decoder
+# ---------------------------------------------------------------------------
+
+def _avdec_available():
+    try:
+        from avcodec_oracle import available
+        return available()
+    except Exception:
+        return False
+
+
+needs_avcodec = pytest.mark.skipif(
+    not _avdec_available(),
+    reason="system libavcodec (third-party H.264 decode oracle) unavailable")
+
+
+def _roundtrip_bit_exact(img, qp):
+    from avcodec_oracle import decode_h264
+    from rumpy_tpu import native
+    h, w, _ = img.shape
+    rgb, bs, (y, cb, cr) = native.h264_intra_encode(img, qp)
+    assert bs[:5] == b"\x00\x00\x00\x01\x67"  # Annex-B SPS first
+    dy, dcb, dcr = decode_h264(bs, w, h)
+    np.testing.assert_array_equal(y, dy)
+    np.testing.assert_array_equal(cb, dcb)
+    np.testing.assert_array_equal(cr, dcr)
+    # the (recon_rgb, stats-path) output corresponds to the same recon
+    np.testing.assert_array_equal(rgb, native.h264_intra(img, qp))
+    return len(bs)
+
+
+@needs_avcodec
+@pytest.mark.parametrize("qp", [0, 8, 20, 32, 44, 51])
+def test_native_h264_bitstream_bit_exact_natural(qp):
+    """The emitted Annex-B stream (SPS+PPS+IDR, constrained baseline,
+    CAVLC) decodes in libavcodec — an independent, conformance-tested
+    H.264 implementation — to EXACTLY the encoder's own reconstruction,
+    at every QP: entropy coding, macroblock syntax, intra prediction,
+    transform/quant and the in-loop deblocking filter all match the
+    spec bit-for-bit (the JM toolchain contract, reference
+    jm_compress.py; SURVEY.md §2.4)."""
+    import glob
+    from PIL import Image
+    p = sorted(glob.glob(
+        "/root/reference/Data/example_data/Set5/hr/butterfly*"))[0]
+    img = np.asarray(Image.open(p).convert("RGB"))[:96, :96]
+    _roundtrip_bit_exact(img, qp)
+
+
+@needs_avcodec
+def test_native_h264_bitstream_bit_exact_stress(rng):
+    """CAVLC corner-case stress: dense noise (suffix-length escalation,
+    run_before zerosLeft>6, nC>=8 FLC coeff_token), extreme checkerboard
+    at QP0 (level escape codes + clamp), and non-MB-multiple frames
+    (SPS cropping + padded-edge prediction)."""
+    tex = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    _roundtrip_bit_exact(tex, 10)
+    ch = np.indices((48, 48)).sum(0) % 2
+    extreme = np.stack([ch * 255, (1 - ch) * 255, ch * 255],
+                       -1).astype(np.uint8)
+    _roundtrip_bit_exact(extreme, 0)
+    _roundtrip_bit_exact(tex[:34, :42], 28)
+    _roundtrip_bit_exact(tex[:16, :16], 26)  # single macroblock
+
+
+@needs_avcodec
+def test_native_h264_bitstream_rate_tracks_qp():
+    """Stream size falls monotonically with QP — the rate side of the
+    RD trade-off the JM analog is meant to reproduce."""
+    import glob
+    from PIL import Image
+    p = sorted(glob.glob(
+        "/root/reference/Data/example_data/Set5/hr/bird*"))[0]
+    img = np.asarray(Image.open(p).convert("RGB"))[:128, :128]
+    sizes = [_roundtrip_bit_exact(img, qp) for qp in (10, 22, 34, 46)]
+    assert sizes == sorted(sizes, reverse=True), sizes
