@@ -151,12 +151,25 @@ class SuperResImages:
             files = files[lo:hi]
         elif image_shortlist is not None:
             keep = set()
+            abase = os.path.abspath(base_dir)
             with open(image_shortlist) as fh:
                 for line in fh:
                     p = line.strip()
-                    if p:
-                        keep.add(os.path.relpath(p, base_dir)
-                                 if base_dir in p else p)
+                    if not p:
+                        continue
+                    # entries under base_dir are kept as relative paths;
+                    # anything else falls through to basename matching.
+                    # (The reference's `main_dir in pth` substring test —
+                    # data_handler.py:432-433 — mangles entries from
+                    # sibling trees whose path merely CONTAINS main_dir
+                    # and silently drops those images; tightened to a
+                    # real path-prefix check here.)
+                    ap = os.path.abspath(p)
+                    if ap.startswith(abase + os.sep):
+                        keep.add(os.path.relpath(ap, abase))
+                    else:
+                        keep.add(p)
+                        keep.add(os.path.basename(p))
             files = [f for f in files
                      if os.path.relpath(f, base_dir) in keep
                      or os.path.basename(f) in keep]
@@ -239,7 +252,13 @@ class SuperResImages:
         else:
             path = os.path.join(self.mask_base, base_name)
         if not os.path.isfile(path):
-            return None
+            # fail loud: a half-masked dataset would otherwise produce
+            # ragged batch keys (collation then crashes or silently drops
+            # every mask, depending on batch order)
+            raise FileNotFoundError(
+                f"loss mask for {hr_path!r} not found at {path!r} "
+                "(mask_data/custom_mask_name is configured, so every HR "
+                "image needs a mask)")
         mask = _decode(path)
         if mask.shape[0] != th or mask.shape[1] != tw:
             # PIL .crop semantics (the reference's center_crop,
@@ -508,6 +527,8 @@ class VideoSequenceImages(SuperResImages):
                              else int(hr_selection))
         # valid window starts
         self._starts = list(range(0, len(self.lr_files) - num_frames + 1))
+        import threading
+        self._window_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._starts)
@@ -520,15 +541,24 @@ class VideoSequenceImages(SuperResImages):
         # Reseed the shared RNG to a per-window seed around each frame
         # fetch so all frames reproduce identical random choices (the
         # seed itself is drawn from the ongoing stream, so windows still
-        # vary across epochs).
-        window_seed = int(self._rng.integers(0, 2 ** 31))
-        frames = []
-        for i in range(self.num_frames):
-            self._rng = np.random.default_rng(window_seed)
-            item = super().__getitem__(start + i)
-            frames.append(item["lr"])
-            if i == self.hr_selection:
-                target = item
+        # vary across epochs). The whole window runs under a lock: the
+        # threaded loader (loader.py prefetch pool) would otherwise swap
+        # self._rng mid-window from a concurrent __getitem__ and break
+        # exactly the coherence the reseeding guarantees; the epoch
+        # stream itself is restored afterwards.
+        with self._window_lock:
+            epoch_rng = self._rng
+            window_seed = int(epoch_rng.integers(0, 2 ** 31))
+            frames = []
+            try:
+                for i in range(self.num_frames):
+                    self._rng = np.random.default_rng(window_seed)
+                    item = super().__getitem__(start + i)
+                    frames.append(item["lr"])
+                    if i == self.hr_selection:
+                        target = item
+            finally:
+                self._rng = epoch_rng
         bundle = np.concatenate(frames, axis=-1)
         out = {"lr": bundle, "tag": target["tag"],
                "metadata": target["metadata"],

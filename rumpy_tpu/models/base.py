@@ -100,6 +100,12 @@ def build_schedule(lr: float, scheduler: Optional[str],
         min_lr = initial / fdiv
         peak_step = float(sp.get("pct_start", 0.3)) * total - 1
         end_step = float(total - 1)
+        if peak_step <= 0 or end_step <= peak_step:
+            raise ValueError(
+                "one_cycle_lr needs 1 < pct_start*total_steps < "
+                f"total_steps; got pct_start={sp.get('pct_start', 0.3)}, "
+                f"total_steps={total} (degenerate warmup/anneal phase "
+                "would divide by zero)")
         linear = sp.get("anneal_strategy", "cos") == "linear"
 
         def _anneal(a, b, pct):
@@ -217,9 +223,15 @@ class BaseHandler:
                  dtype: str = "float32",
                  seed: int = 0,
                  optimizer_params: Optional[Dict[str, Any]] = None,
+                 loss_masking: bool = False,
                  **model_kwargs):
         self.scale = scale
         self.in_features = in_features
+        # reference loss-masking mechanism (base_architecture.py:24, :475-
+        # 478): when active and the batch carries a "mask" image, SR and
+        # HR are multiplied by the binary non-black-pixel mask before the
+        # loss. Activated by the trainer from multi_frame_config.use_masks.
+        self.loss_masking = bool(loss_masking)
         self.dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
         self.lr = lr
         self.optimizer_type = optimizer_type
@@ -314,7 +326,17 @@ class BaseHandler:
         def loss_fn(params):
             sr, aux, new_extra = self.apply(params, batch, train=True,
                                             rng=sub, extra=state.extra)
-            losses = self.compute_losses(sr, batch, aux)
+            lbatch = batch
+            if self.loss_masking and "mask" in batch:
+                # reference get_binary_masks (base_architecture.py:451-
+                # 455): a pixel counts only when EVERY channel is
+                # non-black; SR and HR are masked before the loss
+                m = jnp.all(batch["mask"] != 0, axis=-1,
+                            keepdims=True).astype(sr.dtype)
+                sr = sr * m
+                lbatch = dict(batch)
+                lbatch["hr"] = batch["hr"] * m
+            losses = self.compute_losses(sr, lbatch, aux)
             return losses["train-loss"], (losses, new_extra)
 
         grads, (losses, new_extra) = jax.grad(loss_fn, has_aux=True)(state.params)

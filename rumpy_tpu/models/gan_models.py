@@ -202,7 +202,11 @@ class BaseGANHandler(BaseHandler):
                  lambda_vgg=1.0, vgg_weights=None, vgg_layer="conv5_4",
                  discriminator=None, d_lr=None, nf=64, nb=23, gc=32,
                  d_nf=64, main_lr=None, main_scheduler=None,
-                 main_scheduler_params=None, **kwargs):
+                 main_scheduler_params=None, main_optimizer_params=None,
+                 pretrain_lr=None, pre_train_optimizer_params=None,
+                 pre_train_scheduler=None, pre_train_scheduler_params=None,
+                 discriminator_lr=None, discriminator_optimizer_params=None,
+                 **kwargs):
         self.pretrain_epochs = pretrain_epochs
         self.lambda_adv = lambda_adv
         self.lambda_pixel = lambda_pixel
@@ -211,18 +215,33 @@ class BaseGANHandler(BaseHandler):
         self.vgg_weights = vgg_weights
         self.discriminator_type = discriminator or self.discriminator_type
         self.curr_epoch = 0
-        self._d_lr = d_lr
+        self._d_lr = discriminator_lr if discriminator_lr is not None else d_lr
         self.d_nf = d_nf
         super().__init__(nf=nf, nb=nb, gc=gc, **kwargs)
         # The reference keeps SEPARATE pre_train and main Adam instances
-        # over the same generator params (handlers.py:52-61): the
+        # over the same generator params, each with its own lr /
+        # optimizer_params / scheduler (handlers.py:52-85): the
         # adversarial phase starts with FRESH moments at main_lr. self.tx
-        # (BaseHandler, built from `lr`) is the pre-train optimizer; the
-        # main optimizer gets its own state slot from init.
+        # (BaseHandler, built from `lr` and the generic keys) is the
+        # pre-train optimizer unless the reference's pre_train_* spelling
+        # is used, which rebuilds it reference-exactly.
+        if (pretrain_lr is not None or pre_train_optimizer_params
+                or pre_train_scheduler):
+            self.tx = build_optimizer(
+                pretrain_lr if pretrain_lr is not None else self.lr,
+                optimizer_type=self.optimizer_type,
+                scheduler=pre_train_scheduler,
+                scheduler_params=pre_train_scheduler_params,
+                optimizer_params=pre_train_optimizer_params)
         self.main_tx = build_optimizer(main_lr or self.lr,
                                        optimizer_type=self.optimizer_type,
                                        scheduler=main_scheduler,
-                                       scheduler_params=main_scheduler_params)
+                                       scheduler_params=main_scheduler_params,
+                                       optimizer_params=main_optimizer_params)
+        # the discriminator shares the MAIN scheduler when one is set
+        # (reference handlers.py:81-85)
+        self._d_sched = (main_scheduler, main_scheduler_params,
+                         discriminator_optimizer_params)
         # VGG-19 content loss (reference perceptual update,
         # non_blind_gan_models/__init__.py:35-139 + VGGNets.py:120-186)
         self.vgg_module = None
@@ -235,8 +254,11 @@ class BaseGANHandler(BaseHandler):
         # RRDB heads pixel-unshuffle at scale<4 (generators.py pixel
         # unshuffle input convention) — eval inputs must divide this.
         self.size_multiple = {1: 4, 2: 2}.get(self.scale, 1)
-        self.d_tx = build_optimizer(d_lr or self.lr,
-                            optimizer_type=self.optimizer_type)
+        self.d_tx = build_optimizer(self._d_lr or self.lr,
+                            optimizer_type=self.optimizer_type,
+                            scheduler=self._d_sched[0],
+                            scheduler_params=self._d_sched[1],
+                            optimizer_params=self._d_sched[2])
         self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0,))
 
     def build_module(self, nf, nb, gc):

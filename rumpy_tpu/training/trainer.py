@@ -68,6 +68,16 @@ class TrainingHandler:
                              if train_cfg.get("save_samples") is not None
                              else True)
         self.max_im_val = float(train_cfg.get("max_im_val") or 1.0)
+        if self.max_im_val != 1.0 and verbose:
+            # honored reference-exactly (base_handler.py:108 passes it
+            # straight into Metrics), but the rumpy_tpu data layer always
+            # normalizes images to [0, 1] — a 255-style setting therefore
+            # shifts PSNR by the same constant it would in the reference
+            # given normalized data. Flag it rather than silently skew.
+            print(f"WARNING: training.max_im_val={self.max_im_val} but "
+                  "the data layer emits [0, 1] images; validation "
+                  "PSNR/SSIM will use this as the peak value verbatim "
+                  "(reference parity). Use 1.0 unless you know why.")
         # [training] profile_steps = N: capture a jax.profiler device
         # trace of the first N steps of the first epoch into
         # result_outputs/profile/ (SURVEY §5 tracing; view with
@@ -80,6 +90,15 @@ class TrainingHandler:
         self.batch_size = int(train_cfg.get("batch_size")
                               or data_cfg.get("batch_size") or 8)
         load_epoch = train_cfg.get("continue_from_epoch")
+
+        # multi_frame_config.use_masks activates loss masking on the
+        # model, exactly as the reference trainer does
+        # (base_handler.py:110-123 -> base_architecture.py loss_masking)
+        if (data_cfg.get("multi_frame_config") or {}).get("use_masks"):
+            model_cfg = dict(model_cfg)
+            internal = dict(model_cfg.get("internal_params") or {})
+            internal.setdefault("loss_masking", True)
+            model_cfg["internal_params"] = internal
 
         # model interface
         self.model = SISRInterface(

@@ -57,7 +57,8 @@ def test_gan_phase_updates_both_networks(rng):
               "d-loss-fake"):
         assert np.isfinite(float(losses[k])), k
     d_after = jax.tree_util.tree_leaves(state.params["discriminator"])
-    g_after = jax.tree_util.tree_leaves(state.params["generator"])
+    g_after = [np.asarray(x).copy() for x in
+               jax.tree_util.tree_leaves(state.params["generator"])]
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(d_before, d_after))
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
@@ -217,3 +218,44 @@ def test_perceptual_mechanism(rng, tmp_path):
     assert float(mech(sr, sr)) < 1e-7
     with pytest.raises(NotImplementedError):
         PerceptualMechanism(None)
+
+
+def test_gan_reference_optimizer_vocabulary(rng):
+    """The reference's per-phase GAN optimizer spellings
+    (non_blind_gan_models/handlers.py:23-85): pretrain_lr /
+    pre_train_optimizer_params / pre_train_scheduler drive the pre-train
+    optimizer, main_* the adversarial one, discriminator_lr /
+    discriminator_optimizer_params the discriminator — and the
+    discriminator SHARES the main scheduler (handlers.py:81-85)."""
+    import jax
+    from rumpy_tpu.registry import get_model
+    kw = dict(scale=4, nf=8, nb=1, gc=8, d_nf=8, pretrain_epochs=1,
+              lambda_adv=1e-2, lambda_pixel=1e-2, seed=0,
+              discriminator="unet_sn")
+    h = get_model("esrgan")(
+        pretrain_lr=0.0, main_lr=1e-3, discriminator_lr=1e-3,
+        pre_train_optimizer_params={"beta_1": 0.5},
+        main_optimizer_params={"beta_1": 0.5},
+        discriminator_optimizer_params={"beta_1": 0.5},
+        main_scheduler="multi_step_lr",
+        main_scheduler_params={"milestones": [1], "gamma": 0.5}, **kw)
+    state = h.init_state()
+    g_before = [np.asarray(x).copy() for x in
+                jax.tree_util.tree_leaves(state.params["generator"])]
+    h.set_epoch(0)  # pre-train phase
+    batch = {"lr": rng.random((2, 8, 8, 3)).astype(np.float32),
+             "hr": rng.random((2, 32, 32, 3)).astype(np.float32)}
+    state, losses = h.train_batch(state, batch)
+    # pretrain_lr=0: the pre-train optimizer must not move the generator
+    g_after = [np.asarray(x).copy() for x in
+               jax.tree_util.tree_leaves(state.params["generator"])]
+    for a, b in zip(g_before, g_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(losses["train-loss"]) > 0
+    # adversarial phase still trains (main_lr > 0)
+    h.set_epoch(1)
+    state, losses = h.train_batch(state, batch)
+    g_gan = jax.tree_util.tree_leaves(state.params["generator"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(g_after, g_gan))
+    assert np.isfinite(float(losses["gan-loss"]))
