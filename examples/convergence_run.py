@@ -91,30 +91,67 @@ PIPELINES = {
 def write_config(workdir: str, hr_dir: str, epochs: int,
                  bobw: bool, smoke: bool = False,
                  pipeline: str = "fullchain", batch: int = 16,
-                 milestones=None) -> str:
+                 milestones=None, encoder: str = None,
+                 dan: bool = False) -> str:
     from rumpy_tpu.config.loader import dump_toml
-    model = {
-        "name": "contrastiveblindqrcan" if bobw else "rcan",
-        "internal_params": {
-            "scale": 4, "lr": 2e-4, "n_feats": 64, "n_resgroups": 10,
-            "n_resblocks": 20, "dtype": "bf16",
-        },
-    }
+    if dan:
+        # third blind-SR family: DAN v1's estimator/restorer alternation,
+        # trained against the 10-component PCA blur-kernel metadata the
+        # fused pipeline emits (the same encoding the shipped Set5
+        # lr_random_blur set carries)
+        model = {
+            "name": "dan",
+            "internal_params": {
+                "scale": 4, "lr": 2e-4, "mode": "v1", "nf": 64, "nb": 40,
+                "loop": 4, "input_para": 10, "dtype": "bf16",
+            },
+        }
+    else:
+        model = {
+            "name": "contrastiveblindqrcan" if bobw else "rcan",
+            "internal_params": {
+                "scale": 4, "lr": 2e-4, "n_feats": 64, "n_resgroups": 10,
+                "n_resblocks": 20, "dtype": "bf16",
+            },
+        }
     if milestones:
         model["internal_params"]["scheduler"] = "multi_step_lr"
         model["internal_params"]["scheduler_params"] = {
             "milestones": list(milestones), "gamma": 0.5}
     if smoke:  # tiny net: validates the harness plumbing, not convergence
-        model["internal_params"].update(
-            n_feats=16, n_resgroups=2, n_resblocks=2, dtype="f32")
+        if dan:
+            model["internal_params"].update(nf=16, nb=2, loop=2,
+                                            dtype="f32")
+        else:
+            model["internal_params"].update(
+                n_feats=16, n_resgroups=2, n_resblocks=2, dtype="f32")
     if bobw:
-        # config #5: frozen random-init DASR encoder feeding QRCAN
-        # (the shipped predictor checkpoints are not in this image;
-        # the demonstration is that the JOINT pipeline trains)
-        model["internal_params"]["block_encoder_loading"] = True
-    exp = "convergence_bobw" if bobw else "convergence_rcan"
+        if encoder:
+            # the reference's headline workflow (config #5 proper):
+            # contrastive pretrain -> freeze encoder -> train generator,
+            # warm-starting from a packaged pretrained network by bare
+            # name (parity of pre_trained_encoder_weights)
+            model["internal_params"]["pre_trained_encoder_weights"] = encoder
+        else:
+            # frozen random-init DASR encoder feeding QRCAN (the Zenodo
+            # predictor checkpoints are not in this image; the
+            # demonstration is that the JOINT pipeline trains)
+            model["internal_params"]["block_encoder_loading"] = True
+    exp = ("convergence_dan" if dan
+           else "convergence_bobw" if bobw else "convergence_rcan")
+    if bobw and encoder:
+        exp += "_warm"
     if pipeline != "fullchain":
         exp += f"_{pipeline}"
+    import copy
+    online = copy.deepcopy(PIPELINES[pipeline])
+    if dan:
+        # DAN's kernel loss targets the PCA-encoded blur kernel; request
+        # it from the blur op instead of the scalar sigma metadata
+        bcfg = online["deg_configs"]["b"]
+        bcfg.pop("request_kernel_metadata", None)
+        bcfg["request_pca_kernels"] = True
+        bcfg["pca_length"] = 10
     cfg = {
         "experiment": exp,
         "experiment_save_loc": os.path.join(workdir, "Results"),
@@ -125,7 +162,8 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
             "training_sets": {"data_1": {"hr_dir": hr_dir}},
             "eval_sets": {"data_1": {"lr_dir": EVAL_LR, "hr_dir": EVAL_HR,
                                      "metadata_file": "on_site"}},
-            "online_degradations": PIPELINES[pipeline],
+            "online_degradations": online,
+            **({"metadata": ["blur_kernel"]} if dan else {}),
         },
         "training": {
             "num_epochs": epochs,
@@ -183,9 +221,22 @@ def main():
                     help="comma-separated optimizer-step milestones for a "
                          "gamma=0.5 multi_step_lr schedule")
     ap.add_argument("--bobw", action="store_true")
+    ap.add_argument("--dan", action="store_true")
+    ap.add_argument("--encoder", default=None,
+                    help="packaged pretrained network name (e.g. "
+                         "supmoco_fullchain_d256) to warm-start the "
+                         "frozen BoBW encoder from")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="pin the JAX backend in-Python (e.g. cpu) — the "
+                         "axon site hook overrides the env var at "
+                         "interpreter startup, so smokes must pin here")
     ap.add_argument("--workdir", default="/tmp/rumpy_convergence")
     args = ap.parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.workdir, exist_ok=True)
     hr_dir = stage_data(args.workdir, args.copies)
@@ -193,7 +244,8 @@ def main():
                   if args.milestones else None)
     cfg = write_config(args.workdir, hr_dir, args.epochs, args.bobw,
                        smoke=args.smoke, pipeline=args.pipeline,
-                       batch=args.batch, milestones=milestones)
+                       batch=args.batch, milestones=milestones,
+                       encoder=args.encoder, dan=args.dan)
 
     bic = bicubic_baseline()
     print(f"bicubic x4 Y-PSNR on the blind Set5 eval set: {bic:.3f} dB")
@@ -206,7 +258,10 @@ def main():
     assert r.exit_code == 0
 
     import pandas as pd
-    exp = "convergence_bobw" if args.bobw else "convergence_rcan"
+    exp = ("convergence_dan" if args.dan
+           else "convergence_bobw" if args.bobw else "convergence_rcan")
+    if args.bobw and args.encoder:
+        exp += "_warm"
     if args.pipeline != "fullchain":
         exp += f"_{args.pipeline}"
     summary = os.path.join(args.workdir, "Results", exp, "result_outputs",
