@@ -18,6 +18,7 @@ Usage:  python examples/convergence_run.py [--epochs 40] [--bobw]
 """
 
 import argparse
+import copy
 import glob
 import os
 import shutil
@@ -32,26 +33,34 @@ HR_SOURCES = [
     "/root/reference/automated_testing/image_tools_tests/hr_examples",
     "/root/reference/automated_testing/sisr_tests/eval_dataset/hr",
 ]
+# Held-out variant (VERDICT r3 item 1): Set5 is the VAL set, so a clean
+# convergence number must not train on it — only the reference's other
+# shipped real photos (4 unique; 12003/8143 appear in both dirs and
+# dedupe by basename during staging).
+HR_SOURCES_HELDOUT = HR_SOURCES[1:]
 EVAL_LR = "/root/reference/Data/example_data/Set5/lr_random_blur"
 EVAL_HR = "/root/reference/Data/example_data/Set5/hr"
 
 
-def stage_data(workdir: str, copies: int) -> str:
+def stage_data(workdir: str, copies: int, holdout: bool = False) -> str:
     """Copy the real HR images `copies` times so an epoch is long enough
     to make several optimizer steps at batch 16."""
-    hr_dir = os.path.join(workdir, "hr")
+    hr_dir = os.path.join(workdir, "hr_heldout" if holdout else "hr")
     os.makedirs(hr_dir, exist_ok=True)
     n = 0
-    for src in HR_SOURCES:
+    seen = set()
+    for src in (HR_SOURCES_HELDOUT if holdout else HR_SOURCES):
         for f in sorted(glob.glob(os.path.join(src, "*.png"))):
+            base = os.path.splitext(os.path.basename(f))[0]
+            if base in seen:
+                continue
+            seen.add(base)
             for c in range(copies):
-                dst = os.path.join(
-                    hr_dir, f"{os.path.splitext(os.path.basename(f))[0]}"
-                    f"_c{c}.png")
+                dst = os.path.join(hr_dir, f"{base}_c{c}.png")
                 if not os.path.exists(dst):
                     shutil.copy(f, dst)
                 n += 1
-    print(f"staged {n} HR items ({n // copies} unique) in {hr_dir}")
+    print(f"staged {n} HR items ({len(seen)} unique) in {hr_dir}")
     return hr_dir
 
 
@@ -92,18 +101,33 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
                  bobw: bool, smoke: bool = False,
                  pipeline: str = "fullchain", batch: int = 16,
                  milestones=None, encoder: str = None,
-                 dan: bool = False) -> str:
+                 dan: bool = False, ikc: bool = False,
+                 finetune_encoder: bool = False,
+                 holdout: bool = False, seed: int = 0) -> str:
     from rumpy_tpu.config.loader import dump_toml
     if dan:
         # third blind-SR family: DAN v1's estimator/restorer alternation,
-        # trained against the 10-component PCA blur-kernel metadata the
-        # fused pipeline emits (the same encoding the shipped Set5
-        # lr_random_blur set carries)
+        # trained against a 10-dim PCA blur-kernel encoding (the same
+        # encoding SCHEME the shipped Set5 lr_random_blur set carries;
+        # the basis is fit fresh from this pipeline's kernel sampler —
+        # eval never consumes the metadata, so basis identity is moot)
         model = {
             "name": "dan",
             "internal_params": {
                 "scale": 4, "lr": 2e-4, "mode": "v1", "nf": 64, "nb": 40,
                 "loop": 4, "input_para": 10, "dtype": "bf16",
+            },
+        }
+    elif ikc:
+        # fourth blind-SR family: IKC's SFTMD pretrain -> predictor +
+        # corrector alternation, against the same 10-dim PCA kernel code
+        model = {
+            "name": "ikc",
+            "internal_params": {
+                "scale": 4, "lr": 2e-4, "num_features": 64,
+                "num_blocks": 16, "code_length": 10,
+                "sftmd_pretrain_epochs": max(1, epochs // 3),
+                "correction_steps": 7, "dtype": "bf16",
             },
         }
     else:
@@ -122,6 +146,11 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
         if dan:
             model["internal_params"].update(nf=16, nb=2, loop=2,
                                             dtype="f32")
+        elif ikc:
+            model["internal_params"].update(num_features=16, num_blocks=2,
+                                            correction_steps=2,
+                                            sftmd_pretrain_epochs=1,
+                                            dtype="f32")
         else:
             model["internal_params"].update(
                 n_feats=16, n_resgroups=2, n_resblocks=2, dtype="f32")
@@ -132,22 +161,31 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
             # warm-starting from a packaged pretrained network by bare
             # name (parity of pre_trained_encoder_weights)
             model["internal_params"]["pre_trained_encoder_weights"] = encoder
+            if finetune_encoder:
+                # ablation arm (d): warm-load the encoder but keep it in
+                # the gradient tree so the L1 loss finetunes it
+                model["internal_params"]["encoder_freeze_mode"] = "none"
         else:
             # frozen random-init DASR encoder feeding QRCAN (the Zenodo
             # predictor checkpoints are not in this image; the
             # demonstration is that the JOINT pipeline trains)
             model["internal_params"]["block_encoder_loading"] = True
     exp = ("convergence_dan" if dan
+           else "convergence_ikc" if ikc
            else "convergence_bobw" if bobw else "convergence_rcan")
     if bobw and encoder:
-        exp += "_warm"
+        exp += "_ft" if finetune_encoder else "_warm"
     if pipeline != "fullchain":
         exp += f"_{pipeline}"
-    import copy
+    if holdout:
+        exp += "_heldout"
+    if seed:
+        exp += f"_s{seed}"
     online = copy.deepcopy(PIPELINES[pipeline])
-    if dan:
-        # DAN's kernel loss targets the PCA-encoded blur kernel; request
-        # it from the blur op instead of the scalar sigma metadata
+    if dan or ikc:
+        # DAN's kernel loss and IKC's predictor/corrector target the
+        # PCA-encoded blur kernel; request it from the blur op instead of
+        # the scalar sigma metadata
         bcfg = online["deg_configs"]["b"]
         bcfg.pop("request_kernel_metadata", None)
         bcfg["request_pca_kernels"] = True
@@ -163,12 +201,12 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
             "eval_sets": {"data_1": {"lr_dir": EVAL_LR, "hr_dir": EVAL_HR,
                                      "metadata_file": "on_site"}},
             "online_degradations": online,
-            **({"metadata": ["blur_kernel"]} if dan else {}),
+            **({"metadata": ["blur_kernel"]} if (dan or ikc) else {}),
         },
         "training": {
             "num_epochs": epochs,
             "batch_size": batch,
-            "seed": 0,
+            "seed": seed,
             "metrics": ["PSNR"],
         },
     }
@@ -222,10 +260,18 @@ def main():
                          "gamma=0.5 multi_step_lr schedule")
     ap.add_argument("--bobw", action="store_true")
     ap.add_argument("--dan", action="store_true")
+    ap.add_argument("--ikc", action="store_true")
     ap.add_argument("--encoder", default=None,
                     help="packaged pretrained network name (e.g. "
                          "supmoco_fullchain_d256) to warm-start the "
                          "frozen BoBW encoder from")
+    ap.add_argument("--finetune-encoder", action="store_true",
+                    help="with --bobw --encoder: keep the warm-loaded "
+                         "encoder trainable (ablation arm d)")
+    ap.add_argument("--holdout", action="store_true",
+                    help="exclude Set5 from the TRAINING pool so the "
+                         "shipped Set5 blind val set is truly held out")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="pin the JAX backend in-Python (e.g. cpu) — the "
@@ -233,19 +279,27 @@ def main():
                          "interpreter startup, so smokes must pin here")
     ap.add_argument("--workdir", default="/tmp/rumpy_convergence")
     args = ap.parse_args()
+    if sum([args.dan, args.ikc, args.bobw]) > 1:
+        ap.error("--dan / --ikc / --bobw are mutually exclusive")
+    if args.encoder and not args.bobw:
+        ap.error("--encoder requires --bobw")
+    if args.finetune_encoder and not (args.bobw and args.encoder):
+        ap.error("--finetune-encoder requires --bobw and --encoder")
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.workdir, exist_ok=True)
-    hr_dir = stage_data(args.workdir, args.copies)
+    hr_dir = stage_data(args.workdir, args.copies, holdout=args.holdout)
     milestones = ([int(m) for m in args.milestones.split(",")]
                   if args.milestones else None)
     cfg = write_config(args.workdir, hr_dir, args.epochs, args.bobw,
                        smoke=args.smoke, pipeline=args.pipeline,
                        batch=args.batch, milestones=milestones,
-                       encoder=args.encoder, dan=args.dan)
+                       encoder=args.encoder, dan=args.dan, ikc=args.ikc,
+                       finetune_encoder=args.finetune_encoder,
+                       holdout=args.holdout, seed=args.seed)
 
     bic = bicubic_baseline()
     print(f"bicubic x4 Y-PSNR on the blind Set5 eval set: {bic:.3f} dB")
@@ -259,11 +313,16 @@ def main():
 
     import pandas as pd
     exp = ("convergence_dan" if args.dan
+           else "convergence_ikc" if args.ikc
            else "convergence_bobw" if args.bobw else "convergence_rcan")
     if args.bobw and args.encoder:
-        exp += "_warm"
+        exp += "_ft" if args.finetune_encoder else "_warm"
     if args.pipeline != "fullchain":
         exp += f"_{args.pipeline}"
+    if args.holdout:
+        exp += "_heldout"
+    if args.seed:
+        exp += f"_s{args.seed}"
     summary = os.path.join(args.workdir, "Results", exp, "result_outputs",
                            "summary.csv")
     df = pd.read_csv(summary)

@@ -52,9 +52,15 @@ def generate_eval_set(workdir: str, seed: int) -> str:
 
 
 def write_config(workdir: str, hr_dir: str, eval_dir: str,
-                 epochs: int, batch: int, model: str = "supmoco") -> str:
+                 epochs: int, batch: int, model: str = "supmoco",
+                 milestones=None) -> str:
     from rumpy_tpu.config.loader import dump_toml
     spec = PIPELINES["fullchain"]
+    internal = {"dim": 256, "K": 8192, "lr": 1e-3}
+    if milestones:
+        internal["scheduler"] = "multi_step_lr"
+        internal["scheduler_params"] = {"milestones": list(milestones),
+                                        "gamma": 0.5}
     cfg = {
         "experiment": f"{model}_pretrain",
         "experiment_save_loc": os.path.join(workdir, "Results"),
@@ -72,7 +78,7 @@ def write_config(workdir: str, hr_dir: str, eval_dir: str,
         },
         "model": {
             "name": model,
-            "internal_params": {"dim": 256, "K": 8192, "lr": 1e-3},
+            "internal_params": internal,
         },
         "training": {
             "num_epochs": epochs,
@@ -129,11 +135,18 @@ def main():
                     help="package the trained net under this name")
     ap.add_argument("--model", default="supmoco",
                     choices=("supmoco", "weakcon", "moco"))
+    ap.add_argument("--milestones", default=None,
+                    help="comma-separated optimizer-step milestones for a "
+                         "gamma=0.5 multi_step_lr schedule")
     ap.add_argument("--platform", choices=("default", "cpu"),
                     default="default",
                     help="cpu = pin the CPU backend IN-PYTHON (the env "
                          "var alone does not stop the axon plugin from "
                          "dialing a possibly-hung tunnel)")
+    ap.add_argument("--holdout", action="store_true",
+                    help="exclude Set5 from the TRAINING pool so the "
+                         "encoder stays clean for held-out SR studies "
+                         "(clustering eval on Set5 remains eval-only)")
     ap.add_argument("--workdir", default="/tmp/rumpy_predictor")
     args = ap.parse_args()
 
@@ -142,10 +155,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.workdir, exist_ok=True)
-    hr_dir = stage_data(args.workdir, args.copies)
+    hr_dir = stage_data(args.workdir, args.copies, holdout=args.holdout)
     eval_dir = generate_eval_set(args.workdir, seed=2024)
+    milestones = ([int(m) for m in args.milestones.split(",")]
+                  if args.milestones else None)
     cfg = write_config(args.workdir, hr_dir, eval_dir, args.epochs,
-                       args.batch, model=args.model)
+                       args.batch, model=args.model, milestones=milestones)
 
     from click.testing import CliRunner
 

@@ -47,8 +47,10 @@ class Predictor(nn.Module):
         strides = [1, 1, 1, 2, 1, 1]
         feats = [self.nf] * 5 + [self.code_length]
         for f, s in zip(feats, strides):
-            x = TConv(f, (5, 5), strides=(s, s), dtype=self.dtype,
-                        param_dtype=jnp.float32)(x)
+            # explicit symmetric padding 2: torch Conv2d(k=5, pad=2); XLA
+            # 'SAME' would pad (1,2) at stride 2 and shift the grid
+            x = TConv(f, (5, 5), strides=(s, s), padding=2,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = lrelu(x)
         return jnp.mean(x, axis=(1, 2))
 
@@ -65,8 +67,9 @@ class Corrector(nn.Module):
         x = sr
         strides = [1, 2, 1, 2, 1, 1, 1]
         for s in strides:
-            x = TConv(self.nf, (5, 5), strides=(s, s), dtype=self.dtype,
-                        param_dtype=jnp.float32)(x)
+            # symmetric padding 2 (see Predictor note)
+            x = TConv(self.nf, (5, 5), strides=(s, s), padding=2,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = lrelu(x)
         b, h, w, _ = x.shape
         c = lrelu(TDense(self.nf, dtype=self.dtype,
@@ -198,12 +201,13 @@ class IKCHandler(BaseHandler):
         opt_state = dict(state.opt_state)
         losses: Dict[str, jnp.ndarray] = {}
 
-        # predictor update
+        # predictor update — MSE: IKCPredictorHandler overrides the
+        # BaseModel L1 with nn.MSELoss (handlers.py:1041-1051)
         def p_loss_fn(p_params):
             pred = self.module.apply({"params": {**params,
                                                  "predictor": p_params}},
                                      batch["lr"], method="predict")
-            return jnp.mean(jnp.abs(pred - real_code)), pred
+            return jnp.mean(jnp.square(pred - real_code)), pred
 
         (p_loss, pred_code), p_grads = jax.value_and_grad(
             p_loss_fn, has_aux=True)(params["predictor"])
@@ -222,11 +226,12 @@ class IKCHandler(BaseHandler):
                 self._sr_apply(params, batch["lr"], code))
             s_loss = jnp.mean(jnp.abs(sr - batch["hr"]))
 
+            # MSE: IKCCorrectorHandler's criterion (handlers.py:1053-1066)
             def c_loss_fn(c_params):
                 new_code = self.module.apply(
                     {"params": {**params, "corrector": c_params}}, sr, code,
                     method="correct")
-                return jnp.mean(jnp.abs(new_code - real_code)), new_code
+                return jnp.mean(jnp.square(new_code - real_code)), new_code
 
             (c_loss, new_code), c_grads = jax.value_and_grad(
                 c_loss_fn, has_aux=True)(params["corrector"])

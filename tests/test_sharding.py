@@ -223,3 +223,33 @@ def test_bobw_combined_loss_step_under_mesh(mesh, rng):
     assert np.isfinite(float(losses["train-loss"]))
     assert np.isfinite(float(losses["contrastive-loss"]))
     assert int(state.extra["queue_ptr"]) == 8  # global batch enqueued
+
+
+def test_dan_iterative_step_under_mesh(mesh, rng):
+    """DAN v1's unrolled estimator/restorer alternation (the lax.scan-
+    style iterative blind model) trains data-parallel: sharded batch +
+    replicated params produce the same loss/params as single-device
+    (VERDICT r3 item 5)."""
+    h = get_model("dan")(mode="v1", scale=2, nf=8, nb=1, loop=2,
+                         input_para=4, kernel_size=9, lr=1e-3,
+                         init_ker_map=(0.1, 0.2, 0.3, 0.4))
+    batch_np = {"lr": rng.random((8, 8, 8, 3)).astype(np.float32),
+                "hr": rng.random((8, 16, 16, 3)).astype(np.float32),
+                "metadata": rng.random((8, 4)).astype(np.float32)}
+
+    state_a = h.init_state(seed=0)
+    state_a, loss_a = h.train_batch(state_a, batch_np)
+
+    state_b = h.init_state(seed=0)
+    state_b = mesh_mod.replicate(mesh, state_b)
+    state_b, loss_b = h.train_batch(state_b,
+                                    mesh_mod.shard_batch(mesh, batch_np))
+
+    assert abs(float(loss_a["train-loss"])
+               - float(loss_b["train-loss"])) < 1e-5
+    assert abs(float(loss_a["kernel-loss-iter-1"])
+               - float(loss_b["kernel-loss-iter-1"])) < 1e-5
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -530,3 +530,219 @@ def test_optimizer_vocabulary_matches_torch(torch):
     got = jax_traj(build_optimizer(1e-2, "RMSprop"))
     want = torch_traj(lambda p: torch.optim.RMSprop(p, lr=1e-2))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# (f) DAN v1: estimator/restorer alternation over 20 steps (VERDICT r3
+#     item 5) — pins the unrolled-loop stop-gradient placement and the
+#     "last-iteration image L1 + kernel L1" optimized loss
+#     (blur_kernel_blind_sr/handlers.py:89-119 overwrites d_sr/d_kr each
+#     loop turn; only the final pair reaches standard_update)
+# ---------------------------------------------------------------------------
+
+def test_dan_v1_trajectory(torch, rng):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_danv1_traj", f"{REF}/SISR/models/blur_kernel_blind_sr/DANv1.py")
+    danm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(danm)
+
+    import jax.numpy as jnp
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    steps, lr = 20, 1e-3
+    pca = ("/root/reference/Data/example_data/Set5/lr_random_blur/"
+           "pca_matrix.pth")
+    torch.manual_seed(0)
+    net = danm.DAN(nf=16, nb=2, upscale=4, input_para=10, kernel_size=21,
+                   loop=2, pca_matrix_path=pca)
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=lr)
+    ikm = tuple(float(v) for v in net.init_ker_map.numpy()[0])
+
+    h = get_model("dan")(mode="v1", scale=4, nf=16, nb=2, loop=2,
+                         init_ker_map=ikm, lr=lr)
+    state = h.init_state()
+    template = state.params
+    sd = {k: v for k, v in net.state_dict().items()
+          if k not in ("encoder", "init_kernel", "init_ker_map")}
+    state = state.replace(params=convert_by_order(sd, template))
+
+    xs = rng.random((steps, 2, 3, 8, 8)).astype(np.float32)
+    ys = rng.random((steps, 2, 3, 32, 32)).astype(np.float32)
+    ms = rng.random((steps, 2, 10)).astype(np.float32)
+
+    ref_losses, got_losses = [], []
+    for i in range(steps):
+        srs, kms = net(torch.from_numpy(xs[i]))
+        d_sr = d_kr = None
+        for ind in range(len(kms)):  # handlers.py:101-116
+            d_kr = torch.nn.functional.l1_loss(
+                kms[ind], torch.from_numpy(ms[i]))
+            d_sr = torch.nn.functional.l1_loss(
+                srs[ind], torch.from_numpy(ys[i]))
+        final_loss = d_sr + d_kr
+        opt.zero_grad()
+        final_loss.backward()
+        opt.step()
+        ref_losses.append(float(final_loss.detach()))
+
+        state, losses = h.train_batch(
+            state, {"lr": jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+                    "hr": jnp.asarray(ys[i].transpose(0, 2, 3, 1)),
+                    "metadata": jnp.asarray(ms[i])})
+        got_losses.append(float(losses["train-loss"]))
+
+    deltas = np.abs(np.array(ref_losses) - np.array(got_losses))
+    print(f"\nDAN v1 trajectory: worst per-step loss delta "
+          f"{deltas.max():.2e} at step {deltas.argmax()}")
+    assert deltas.max() < 5e-5, list(zip(ref_losses, got_losses))
+
+    worst = _leaf_close(state.params, convert_by_order(
+        {k: v for k, v in net.state_dict().items()
+         if k not in ("encoder", "init_kernel", "init_ker_map")}, template),
+        atol=5e-4)
+    print(f"DAN v1 trajectory: final param worst delta {worst:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# (g) IKC: SFTMD-pretrain -> predictor/corrector alternation (VERDICT r3
+#     item 5) — pins the per-child optimizers (fresh Adam moments each),
+#     the MSE criteria of IKCPredictorHandler/IKCCorrectorHandler
+#     (handlers.py:1041-1066), the pre-update forward feeding the next
+#     corrector iteration, and train-loss = min per-iteration SFTMD L1
+#     (handlers.py:1155-1193)
+# ---------------------------------------------------------------------------
+
+def test_ikc_phase_trajectory(torch, rng):
+    import importlib.util
+
+    import ref_loader
+    ref_loader.load_q_arch()  # brings up SFTMD_variants + its dep chain
+    sft_m = sys.modules["rumpy.SISR.models.SFTMD_variants.architectures"]
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ikc_traj", f"{REF}/SISR/models/blur_kernel_blind_sr/IKC.py")
+    ikc_m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ikc_m)
+
+    import jax.numpy as jnp
+
+    from test_arch_parity import _reorder_sftmd_state
+
+    from rumpy_tpu.registry import get_model
+    from rumpy_tpu.utils.torch_convert import convert_by_order
+
+    lr, corr_steps, code_len = 1e-3, 3, 10
+    pre_steps, blind_steps = 8, 12
+
+    torch.manual_seed(0)
+    sft_net = sft_m.SFTMD(num_features=16, num_blocks=2, scale=4,
+                          input_para=code_len, SFT_type="standard")
+    pred_net = ikc_m.Predictor(code_length=code_len)
+    corr_net = ikc_m.Corrector(code_length=code_len)
+    opt_s = torch.optim.Adam(sft_net.parameters(), lr=lr)
+    opt_p = torch.optim.Adam(pred_net.parameters(), lr=lr)
+    opt_c = torch.optim.Adam(corr_net.parameters(), lr=lr)
+    mse = torch.nn.functional.mse_loss
+    l1 = torch.nn.functional.l1_loss
+
+    h = get_model("ikc")(scale=4, num_features=16, num_blocks=2,
+                         code_length=code_len, sftmd_pretrain_epochs=1,
+                         correction_steps=corr_steps, lr=lr,
+                         sft_type="standard")
+    state = h.init_state()
+    template = state.params
+    params = dict(state.params)
+    params["sr_model"] = convert_by_order(
+        _reorder_sftmd_state(sft_net.state_dict()), template["sr_model"])
+    params["predictor"] = convert_by_order(pred_net.state_dict(),
+                                           template["predictor"])
+    params["corrector"] = convert_by_order(corr_net.state_dict(),
+                                           template["corrector"])
+    state = state.replace(params=params)
+
+    steps = pre_steps + blind_steps
+    xs = rng.random((steps, 2, 3, 8, 8)).astype(np.float32)
+    ys = rng.random((steps, 2, 3, 32, 32)).astype(np.float32)
+    ms = rng.random((steps, 2, code_len)).astype(np.float32)
+
+    def tiled(meta, hw):
+        return torch.from_numpy(np.broadcast_to(
+            meta[:, :, None, None], meta.shape + (hw, hw)).copy())
+
+    ref_losses, got_losses, ref_plosses, got_plosses = [], [], [], []
+    for i in range(steps):
+        x, y, meta = (torch.from_numpy(xs[i]), torch.from_numpy(ys[i]),
+                      torch.from_numpy(ms[i]))
+        if i < pre_steps:
+            # SFTMD pretrain on the TRUE code (handlers.py:1095-1100)
+            sr = sft_net(x, tiled(ms[i], 8))
+            loss = l1(sr, y)
+            opt_s.zero_grad()
+            loss.backward()
+            opt_s.step()
+            ref_losses.append(float(loss.detach()))
+            ref_plosses.append(0.0)
+        else:
+            # predictor update on (LR -> code), MSE criterion
+            pred_code = pred_net(x)
+            p_loss = mse(pred_code, meta)
+            opt_p.zero_grad()
+            p_loss.backward()
+            opt_p.step()
+            ref_plosses.append(float(p_loss.detach()))
+
+            # corrector alternation: SFTMD eval (stop-grad), corrector
+            # update vs the true code; the PRE-update forward's output
+            # feeds the next iteration (q_layer run_train semantics)
+            code = pred_code.detach()
+            sftmd_losses = []
+            for _ in range(corr_steps):
+                with torch.no_grad():
+                    sr = sft_net(x, tiled(code.numpy(), 8))
+                    s_loss = float(l1(sr, y))
+                new_code = corr_net(sr, code)
+                c_loss = mse(new_code, meta)
+                opt_c.zero_grad()
+                c_loss.backward()
+                opt_c.step()
+                code = new_code.detach()
+                sftmd_losses.append(s_loss)
+            ref_losses.append(min(sftmd_losses))
+
+        h.set_epoch(0 if i < pre_steps else 1)
+        state, losses = h.train_batch(
+            state, {"lr": jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+                    "hr": jnp.asarray(ys[i].transpose(0, 2, 3, 1)),
+                    "metadata": jnp.asarray(ms[i])})
+        got_losses.append(float(losses["train-loss"]))
+        got_plosses.append(float(losses.get("predictor-loss", 0.0)))
+
+    deltas = np.abs(np.array(ref_losses) - np.array(got_losses))
+    p_deltas = np.abs(np.array(ref_plosses) - np.array(got_plosses))
+    print(f"\nIKC trajectory: worst train-loss delta {deltas.max():.2e}, "
+          f"worst predictor-loss delta {p_deltas.max():.2e}")
+    print("per-step train-loss deltas:", np.array2string(deltas, precision=2))
+    # 3 corrector Adam sub-updates per blind step compound fp noise ~3x
+    # faster than the single-optimizer trajectories; drift stays <3e-4
+    # over 12 blind steps while a semantic mismatch (e.g. L1-vs-MSE or
+    # SAME-vs-symmetric padding) shows up as >1e-2 from the first step
+    assert deltas[:pre_steps].max() < 5e-5, "pretrain phase diverged"
+    assert deltas.max() < 3e-4, list(zip(ref_losses, got_losses))
+    assert p_deltas.max() < 2e-4
+
+    worst = 0.0
+    for child, net in (("sr_model", None), ("predictor", pred_net),
+                       ("corrector", corr_net)):
+        sd = (_reorder_sftmd_state(sft_net.state_dict())
+              if child == "sr_model" else net.state_dict())
+        # 1e-3: same Adam-drift budget the ESRGAN boundary test uses —
+        # 36 corrector sub-updates compound sign-level fp noise at ~lr
+        worst = max(worst, _leaf_close(
+            state.params[child], convert_by_order(sd, template[child]),
+            atol=1e-3))
+    print(f"IKC trajectory: final param worst delta {worst:.2e}")
