@@ -59,12 +59,17 @@ from rumpy_tpu.evaluation.eval_hub import EvalHub
               help="Face-rec gallery: dir of <id>.png or a features npz.")
 @click.option("--fr_extractor", default=None)
 @click.option("--fr_extractor_weights", default=None, type=click.Path())
+@click.option("--pad_to_bucket", default=None, type=int,
+              help="Bounded-compile eval: zero-pad model inputs up to the "
+                   "next multiple of N px (output cropped back before "
+                   "metrics) so arbitrary-shape folders compile a bounded "
+                   "number of programs instead of one per shape.")
 def main(config, out_loc, model_loc, scale, hr_dir, lr_dir, metadata_file,
          dataset_name, data_split, group_select, qpi_selection,
          ignore_degradation_location, recursive, model_and_epoch, metrics,
          save_im, gallery, no_image_comparison, lanczos_upsample,
          time_models, lpips_weights, fr_gallery, fr_extractor,
-         fr_extractor_weights):
+         fr_extractor_weights, pad_to_bucket):
     cfg = load_config(config) if config else {}
     # every boolean option is tri-state (default=None): unset flags stay
     # None and never clobber a config-file value, while an explicit
@@ -77,7 +82,8 @@ def main(config, out_loc, model_loc, scale, hr_dir, lr_dir, metadata_file,
         "lanczos_upsample": lanczos_upsample,
         "lpips_weights": lpips_weights, "fr_gallery": fr_gallery,
         "fr_extractor": fr_extractor,
-        "fr_extractor_weights": fr_extractor_weights}.items()
+        "fr_extractor_weights": fr_extractor_weights,
+        "pad_to_bucket": pad_to_bucket}.items()
         if v is not None})
 
     data = dict(cfg.get("data") or {})
@@ -128,7 +134,8 @@ def main(config, out_loc, model_loc, scale, hr_dir, lr_dir, metadata_file,
         lpips_weights=cfg.get("lpips_weights"),
         fr_gallery=cfg.get("fr_gallery"),
         fr_extractor=cfg.get("fr_extractor") or "lightcnn",
-        fr_extractor_weights=cfg.get("fr_extractor_weights"))
+        fr_extractor_weights=cfg.get("fr_extractor_weights"),
+        pad_to_bucket=cfg.get("pad_to_bucket"))
     df = hub.full_image_protocol()
     click.echo(df.mean(axis=0).to_string())
 

@@ -50,9 +50,17 @@ class EvalHub:
                  lpips_weights: Optional[str] = None,
                  fr_gallery: Optional[str] = None,
                  fr_extractor: str = "lightcnn",
-                 fr_extractor_weights: Optional[str] = None):
+                 fr_extractor_weights: Optional[str] = None,
+                 pad_to_bucket: Optional[int] = None):
         self.out_loc = out_loc
         self.scale = scale
+        # Bounded-compile eval (SURVEY §7 hard part 2): pad every model
+        # input up to the next multiple of this value (zeros; output
+        # cropped back before metrics), so a folder of arbitrary shapes
+        # compiles at most ceil(max_dim/bucket)^2 programs per model
+        # instead of one per distinct shape. Opt-in — None keeps the
+        # reference's exact unpadded forward.
+        self.pad_to_bucket = pad_to_bucket
         self.save_im = save_im
         self.gallery = gallery
         self.lanczos = lanczos_upsample
@@ -215,14 +223,21 @@ class EvalHub:
                     # warm-up forward so the runtime column reports
                     # steady-state inference, not the one-off XLA compile
                     # (the reference's per-image timing has no compile
-                    # step to worry about; on TPU it would dominate)
-                    key = (name, inp.shape[:2])
+                    # step to worry about; on TPU it would dominate).
+                    # Under bucketing the compile key is the BUCKET shape.
+                    h_, w_ = inp.shape[:2]
+                    if self.pad_to_bucket:
+                        b = self.pad_to_bucket
+                        h_, w_ = h_ + (-h_) % b, w_ + (-w_) % b
+                    key = (name, (h_, w_))
                     if key not in self._timed_shapes:
-                        iface.net_run_and_process(inp[None],
-                                                  metadata=model_meta)
+                        iface.net_run_and_process(
+                            inp[None], metadata=model_meta,
+                            pad_multiple=self.pad_to_bucket)
                         self._timed_shapes.add(key)
                 rgb, _ycc, _loss, elapsed = iface.net_run_and_process(
-                    inp[None], metadata=model_meta, timing=self.time_models)
+                    inp[None], metadata=model_meta, timing=self.time_models,
+                    pad_multiple=self.pad_to_bucket)
                 outputs[name] = rgb[0]
                 if self.time_models and elapsed is not None:
                     rows[tag][f"{name}>runtime"] = elapsed

