@@ -40,3 +40,27 @@ def test_pallas_entropy_matches_xla_interior(rng, region):
                                           levels=32, interpret=True))
     m = region
     np.testing.assert_allclose(got[m:-m, m:-m], ref[m:-m, m:-m], atol=1e-4)
+
+
+def test_rcab_fused_matches_xla(rng):
+    """Fused VMEM-resident RCAB block == the XLA-op reference on f32
+    (exact conv semantics; bf16 is measured on-chip in
+    examples/pallas_rcab_bench.py)."""
+    import jax.numpy as jnp
+    from rumpy_tpu.ops.pallas.rcab_fused import rcab_fused, rcab_reference
+
+    n, h, w, c, r = 2, 12, 16, 64, 16
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((9, c, c)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((9, c, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((c, c // r)) * 0.1, jnp.float32)
+    bd = jnp.asarray(rng.standard_normal((c // r,)) * 0.01, jnp.float32)
+    wu = jnp.asarray(rng.standard_normal((c // r, c)) * 0.1, jnp.float32)
+    bu = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
+
+    got = np.asarray(rcab_fused(x, w1, b1, w2, b2, wd, bd, wu, bu,
+                                interpret=True))
+    want = np.asarray(rcab_reference(x, w1, b1, w2, b2, wd, bd, wu, bu))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

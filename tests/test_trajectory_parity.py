@@ -1,7 +1,7 @@
 """Multi-step training-TRAJECTORY parity vs the torch reference
 (VERDICT r2 item 1): where the one-step test pins a single gradient +
 Adam update, these tests drive 25-40 consecutive optimizer steps with
-identical data and converted-weight init through three stateful regimes:
+identical data and converted-weight init through five stateful regimes:
 
   (a) RCAN + multi-step LR scheduler — pins the per-step scheduler
       semantics (reference standard_update steps the scheduler after
@@ -15,7 +15,13 @@ identical data and converted-weight init through three stateful regimes:
       L1-pretrain phase, the separate pre_train/main optimizer swap at
       the boundary (fresh Adam moments, handlers.py:52-61), the
       relativistic adversarial forms and the G-then-D update order
-      (handlers.py:117-168).
+      (handlers.py:117-168);
+  (f) DAN v1 — pins the unrolled estimator/restorer alternation, its
+      stop-gradient placement and the last-iteration-only optimized loss
+      (blur_kernel_blind_sr/handlers.py:89-119);
+  (g) IKC — pins the SFTMD-pretrain -> predictor/corrector phase
+      switch, the per-child Adam optimizers, the MSE criteria and the
+      min-over-iterations train loss (handlers.py:1041-1193).
 
 Per-step train losses are asserted within fp tolerance and the final
 parameters leaf-for-leaf close. torch sides are driven with the
