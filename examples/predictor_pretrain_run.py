@@ -53,7 +53,7 @@ def generate_eval_set(workdir: str, seed: int) -> str:
 
 def write_config(workdir: str, hr_dir: str, eval_dir: str,
                  epochs: int, batch: int, model: str = "supmoco",
-                 milestones=None) -> str:
+                 milestones=None, crop: int = 64) -> str:
     from rumpy_tpu.config.loader import dump_toml
     spec = PIPELINES["fullchain"]
     internal = {"dim": 256, "K": 8192, "lr": 1e-3}
@@ -67,7 +67,7 @@ def write_config(workdir: str, hr_dir: str, eval_dir: str,
         "data": {
             "task_type": "regression",
             "scale": 4,
-            "crop": 64,
+            "crop": crop,
             # crop_count derives from the handler's positives_per_class
             # default (SupMoCo: 4 -> 5 crops per image)
             "dataloader_threads": 2,
@@ -138,6 +138,9 @@ def main():
     ap.add_argument("--milestones", default=None,
                     help="comma-separated optimizer-step milestones for a "
                          "gamma=0.5 multi_step_lr schedule")
+    ap.add_argument("--crop", type=int, default=64,
+                    help="LR crop size fed to the encoder (the 1-core box "
+                         "is conv-bound; 48 cuts epoch wall ~2x)")
     ap.add_argument("--platform", choices=("default", "cpu"),
                     default="default",
                     help="cpu = pin the CPU backend IN-PYTHON (the env "
@@ -160,7 +163,8 @@ def main():
     milestones = ([int(m) for m in args.milestones.split(",")]
                   if args.milestones else None)
     cfg = write_config(args.workdir, hr_dir, eval_dir, args.epochs,
-                       args.batch, model=args.model, milestones=milestones)
+                       args.batch, model=args.model, milestones=milestones,
+                       crop=args.crop)
 
     from click.testing import CliRunner
 
