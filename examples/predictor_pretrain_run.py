@@ -150,6 +150,9 @@ def main():
                     help="exclude Set5 from the TRAINING pool so the "
                          "encoder stays clean for held-out SR studies "
                          "(clustering eval on Set5 remains eval-only)")
+    ap.add_argument("--resume", default=None,
+                    help="int | best | last — resume a prior run in the "
+                         "same workdir (forwards continue_from_epoch)")
     ap.add_argument("--workdir", default="/tmp/rumpy_predictor")
     args = ap.parse_args()
 
@@ -169,7 +172,10 @@ def main():
     from click.testing import CliRunner
 
     from rumpy_tpu.cli.train_sisr import main as train_main
-    r = CliRunner().invoke(train_main, ["--parameters", cfg],
+    cli_args = ["--parameters", cfg]
+    if args.resume:
+        cli_args += ["--continue_from_epoch", args.resume]
+    r = CliRunner().invoke(train_main, cli_args,
                            catch_exceptions=False)
     print(r.output[-3000:])
     assert r.exit_code == 0
