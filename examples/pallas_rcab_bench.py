@@ -10,6 +10,11 @@ inter-fusion round trips), which on the HBM wall should read as up to
 step (fwd is ~37% of step time, backward unfused), at most the ~5%
 step-level headroom BASELINE.md estimated.
 
+MEASURED OUTCOME (v5e, recorded in BASELINE.md): refuted — XLA 0.415
+ms/block (98.1 TFLOP/s, at the 64-ch MXU-packing ceiling, i.e. the
+forward chain is compute-bound, not HBM-bound) vs Pallas 1.030 ms/block
+(the 9-shifted-matmul conv contracts K=64 x N=64 = quarter packing).
+
 Usage: python examples/pallas_rcab_bench.py [--batch 120] [--px 48]
        [--blocks 20] [--platform cpu]  (cpu = tiny-shape smoke)
 """
