@@ -193,6 +193,7 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
     cfg = {
         "experiment": exp,
         "experiment_save_loc": os.path.join(workdir, "Results"),
+        "model": model,
         "data": {
             "scale": 4,
             "crop": 48,

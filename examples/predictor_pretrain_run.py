@@ -30,16 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from convergence_run import EVAL_HR, PIPELINES, stage_data  # noqa: E402
 
 
-def generate_eval_set(workdir: str, seed: int) -> str:
-    """Offline-degrade Set5 HR with the full chain (held-out seed) so the
-    eval set carries the degradation-metadata CSV the class labelling
+def generate_eval_set(workdir: str, seed: int,
+                      pipeline: str = "fullchain") -> str:
+    """Offline-degrade Set5 HR with the training chain (held-out seed) so
+    the eval set carries the degradation-metadata CSV the class labelling
     needs for clustering scores."""
     from rumpy_tpu.degradations.pipeline import ImagePipeline
-    out = os.path.join(workdir, f"eval_clustering_s{seed}")
+    out = os.path.join(workdir, f"eval_clustering_{pipeline}_s{seed}")
     marker = os.path.join(out, "degradation_metadata.csv")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        spec = PIPELINES["fullchain"]
+        spec = PIPELINES[pipeline]
         pipe = ImagePipeline(spec["pipeline"],
                              deg_configs=spec["deg_configs"],
                              seed=seed, scale=4)
@@ -53,9 +54,10 @@ def generate_eval_set(workdir: str, seed: int) -> str:
 
 def write_config(workdir: str, hr_dir: str, eval_dir: str,
                  epochs: int, batch: int, model: str = "supmoco",
-                 milestones=None, crop: int = 64) -> str:
+                 milestones=None, crop: int = 64,
+                 pipeline: str = "fullchain") -> str:
     from rumpy_tpu.config.loader import dump_toml
-    spec = PIPELINES["fullchain"]
+    spec = PIPELINES[pipeline]
     internal = {"dim": 256, "K": 8192, "lr": 1e-3}
     if milestones:
         internal["scheduler"] = "multi_step_lr"
@@ -138,6 +140,11 @@ def main():
     ap.add_argument("--milestones", default=None,
                     help="comma-separated optimizer-step milestones for a "
                          "gamma=0.5 multi_step_lr schedule")
+    ap.add_argument("--pipeline", choices=sorted(PIPELINES),
+                    default="fullchain",
+                    help="degradation distribution the encoder trains "
+                         "against (matched = the SRMD-blur-only chain the "
+                         "shipped Set5 blind set was generated with)")
     ap.add_argument("--crop", type=int, default=64,
                     help="LR crop size fed to the encoder (the 1-core box "
                          "is conv-bound; 48 cuts epoch wall ~2x)")
@@ -162,12 +169,13 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     hr_dir = stage_data(args.workdir, args.copies, holdout=args.holdout)
-    eval_dir = generate_eval_set(args.workdir, seed=2024)
+    eval_dir = generate_eval_set(args.workdir, seed=2024,
+                                 pipeline=args.pipeline)
     milestones = ([int(m) for m in args.milestones.split(",")]
                   if args.milestones else None)
     cfg = write_config(args.workdir, hr_dir, eval_dir, args.epochs,
                        args.batch, model=args.model, milestones=milestones,
-                       crop=args.crop)
+                       crop=args.crop, pipeline=args.pipeline)
 
     from click.testing import CliRunner
 

@@ -60,7 +60,16 @@ class SISRInterface:
 
         self.metadata = self._metadata_load(new_params or {}, load_epoch,
                                             new_params_override_load)
-        self.name = (self.metadata.get("name") or "rcan").lower()
+        _name = self.metadata.get("name")
+        if not _name:
+            # Fail loudly: a silent architecture default here once trained
+            # the wrong model for an entire study (the reference errors
+            # too — define_model(None) cannot resolve, net_train.py:71-82).
+            raise ValueError(
+                "config declares no model name — add a [model] table with "
+                "name = \"...\" (and the checkpoint being loaded, if any, "
+                "carries no saved name either)")
+        self.name = _name.lower()
 
         internal = dict(self.metadata.get("internal_params") or {})
         if scale is not None:

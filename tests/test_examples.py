@@ -54,3 +54,53 @@ def test_training_example_models_build(name, model):
         pipe = ImagePipeline(deg["pipeline"],
                              deg_configs=deg.get("deg_configs"))
         assert pipe.supports_fused()
+
+
+def test_convergence_harness_config_declares_model(tmp_path):
+    """Regression: write_config once built the [model] table and then
+    dropped it on the floor — every 'convergence' run silently trained
+    the CLI's former default architecture instead of the one the flag
+    selected. Pin the model name (and the key internal switches) that
+    each harness mode emits into config.toml."""
+    import sys
+    sys.path.insert(0, EXAMPLES)
+    import convergence_run as cr
+    from rumpy_tpu.config.loader import load_config
+
+    hr = tmp_path / "hr"
+    hr.mkdir()
+    cases = [
+        (dict(), "rcan", {}),
+        (dict(bobw=True), "contrastiveblindqrcan",
+         {"block_encoder_loading": True}),
+        (dict(bobw=True, encoder="supmoco_fullchain_d256"),
+         "contrastiveblindqrcan",
+         {"pre_trained_encoder_weights": "supmoco_fullchain_d256"}),
+        (dict(bobw=True, encoder="supmoco_fullchain_d256",
+              finetune_encoder=True),
+         "contrastiveblindqrcan", {"encoder_freeze_mode": "none"}),
+        (dict(dan=True), "dan", {"mode": "v1"}),
+        (dict(ikc=True), "ikc", {"correction_steps": 7}),
+    ]
+    for kwargs, expect_name, expect_internal in cases:
+        path = cr.write_config(str(tmp_path), str(hr), epochs=2,
+                               bobw=kwargs.pop("bobw", False),
+                               milestones=[500], **kwargs)
+        cfg = load_config(path).as_plain()
+        mc = cfg.get("model") or {}
+        assert mc.get("name") == expect_name, (expect_name, mc)
+        internal = mc.get("internal_params") or {}
+        for k, v in expect_internal.items():
+            assert internal.get(k) == v, (expect_name, k, internal)
+        assert internal.get("scheduler") == "multi_step_lr"
+
+
+def test_interface_requires_model_name(tmp_path):
+    """A train-mode interface with no model name anywhere must fail
+    loudly, never fall back to a default architecture."""
+    import pytest
+
+    from rumpy_tpu.interface import SISRInterface
+    with pytest.raises(ValueError, match="no model name"):
+        SISRInterface(model_loc=str(tmp_path), experiment="nn",
+                      mode="train", scale=4, new_params={})
