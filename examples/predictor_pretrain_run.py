@@ -35,19 +35,25 @@ def generate_eval_set(workdir: str, seed: int,
     """Offline-degrade Set5 HR with the training chain (held-out seed) so
     the eval set carries the degradation-metadata CSV the class labelling
     needs for clustering scores."""
+    import jax
+
     from rumpy_tpu.degradations.pipeline import ImagePipeline
     out = os.path.join(workdir, f"eval_clustering_{pipeline}_s{seed}")
     marker = os.path.join(out, "degradation_metadata.csv")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         spec = PIPELINES[pipeline]
-        pipe = ImagePipeline(spec["pipeline"],
-                             deg_configs=spec["deg_configs"],
-                             seed=seed, scale=4)
         files = sorted(glob.glob(os.path.join(EVAL_HR, "*.png")))
-        # several degraded copies per image -> enough points to cluster
-        pipe.run_pipeline(image_files=files, save_to_dir=out, multiples=6,
-                          progress_bar_off=True)
+        # Pin datagen to the coexisting CPU backend: under the default
+        # (remote-TPU) platform each of the 5 distinct Set5 shapes would
+        # cost minutes of tunnel compile PER OP for a 30-image one-off.
+        with jax.default_device(jax.devices("cpu")[0]):
+            pipe = ImagePipeline(spec["pipeline"],
+                                 deg_configs=spec["deg_configs"],
+                                 seed=seed, scale=4)
+            # several degraded copies per image -> enough points to cluster
+            pipe.run_pipeline(image_files=files, save_to_dir=out,
+                              multiples=6, progress_bar_off=True)
         print(f"generated clustering eval set in {out}")
     return out
 
