@@ -278,6 +278,9 @@ def main():
                     help="pin the JAX backend in-Python (e.g. cpu) — the "
                          "axon site hook overrides the env var at "
                          "interpreter startup, so smokes must pin here")
+    ap.add_argument("--resume", default=None,
+                    help="int | best | last — resume a prior run in the "
+                         "same workdir (forwards continue_from_epoch)")
     ap.add_argument("--workdir", default="/tmp/rumpy_convergence")
     args = ap.parse_args()
     if sum([args.dan, args.ikc, args.bobw]) > 1:
@@ -308,7 +311,10 @@ def main():
     from click.testing import CliRunner
 
     from rumpy_tpu.cli.train_sisr import main as train_main
-    r = CliRunner().invoke(train_main, ["--parameters", cfg], catch_exceptions=False)
+    cli_args = ["--parameters", cfg]
+    if args.resume:
+        cli_args += ["--continue_from_epoch", args.resume]
+    r = CliRunner().invoke(train_main, cli_args, catch_exceptions=False)
     print(r.output[-3000:])
     assert r.exit_code == 0
 
