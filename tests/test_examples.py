@@ -95,6 +95,37 @@ def test_convergence_harness_config_declares_model(tmp_path):
         assert internal.get("scheduler") == "multi_step_lr"
 
 
+def test_encoder_probe_grid_and_pinned_degradation():
+    """The discrete-grid encoder probe (examples/encoder_probe.py) must
+    produce one class per (blur, noise, JPEG) cell and pin the
+    degradation parameters exactly (no random ranges)."""
+    import sys
+
+    import numpy as np
+    sys.path.insert(0, EXAMPLES)
+    import encoder_probe as ep
+
+    cells = ep.grid_cells()
+    assert len(cells) == (len(ep.BLUR_SIGMAS) * len(ep.NOISE_SIGMAS)
+                          * len(ep.JPEG_QUALITIES))
+    assert len(set(cells)) == len(cells)
+
+    files = sorted(os.path.join(ep.EVAL_HR, f)
+                   for f in os.listdir(ep.EVAL_HR) if f.endswith(".png"))
+    out = ep.degrade_cell(files[:1], sigma=2.2, noise=25.0, quality=30,
+                          seed=7, multiples=2)
+    assert len(out) == 2
+    for im in out:
+        assert im.dtype == np.float32 and im.min() >= 0 and im.max() <= 1
+    # two draws of a fully-pinned cell differ only by the noise draw —
+    # blur kernel and JPEG are deterministic, so images stay close
+    assert np.abs(out[0] - out[1]).mean() < 0.1
+
+    rng = np.random.default_rng(0)
+    cs = list(ep.crops(out[0], 48, 3, rng))
+    assert len(cs) == 3 and all(c.shape == (48, 48, 3) for c in cs)
+
+
 def test_interface_requires_model_name(tmp_path):
     """A train-mode interface with no model name anywhere must fail
     loudly, never fall back to a default architecture."""
