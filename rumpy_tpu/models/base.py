@@ -443,7 +443,6 @@ class BaseHandler:
         template_state = self.init_state()
         template = {
             "network": template_state.params,
-            "optimizer": template_state.opt_state,
             "extra": template_state.extra,
             "step": template_state.step,
             "rng": template_state.rng,
@@ -451,6 +450,13 @@ class BaseHandler:
             "model_epoch": 0,
             "handler_metadata": self.handler_metadata(),
         }
+        if not skip_optimizer_load:
+            # leaving the optimizer out of the template means a caller
+            # that explicitly skips it can load checkpoints saved under a
+            # DIFFERENT optimizer/scheduler config (e.g. probing a
+            # scheduler-trained encoder with a plain handler) — a typed
+            # restore of a mismatched optax tree would raise first
+            template["optimizer"] = template_state.opt_state
         loaded = ckpt.load_checkpoint(path, template)
         # minimal=True checkpoints carry no optimizer state — fall back
         # to a fresh one (base_interface.py minimal-save semantics)

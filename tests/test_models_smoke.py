@@ -104,6 +104,28 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     assert ep == 3
 
 
+def test_skip_optimizer_load_across_optimizer_configs(rng, tmp_path):
+    """skip_optimizer_load must work even when the loading handler's
+    optax tree differs from the one the checkpoint was saved under
+    (e.g. probing a scheduler-trained net with a plain-Adam handler) —
+    a typed restore of the mismatched optimizer would raise."""
+    h_sched = get_model("edsr")(scale=2, num_features=8, num_blocks=1,
+                                scheduler="multi_step_lr",
+                                scheduler_params={"milestones": [5],
+                                                  "gamma": 0.5})
+    state = h_sched.init_state()
+    batch = _batch(rng, n=1, size=8, scale=2)
+    state, _ = h_sched.train_batch(state, batch)
+    h_sched.save_model(state, str(tmp_path), epoch=0)
+
+    h_plain = get_model("edsr")(scale=2, num_features=8, num_blocks=1)
+    loaded, _ = h_plain.load_model(str(tmp_path), epoch=0,
+                                   skip_optimizer_load=True)
+    out1 = np.asarray(h_sched.run_eval(state, batch))
+    out2 = np.asarray(h_plain.run_eval(loaded, batch))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
 def test_grad_descent_reduces_loss(rng):
     h = get_model("edsr")(scale=2, num_features=8, num_blocks=1, lr=1e-3)
     state = h.init_state()
