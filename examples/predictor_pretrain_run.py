@@ -99,9 +99,11 @@ def write_config(workdir: str, hr_dir: str, eval_dir: str,
     return path
 
 
-def package(workdir: str, name: str, model: str = "supmoco") -> str:
+def package(workdir: str, name: str, model: str = "supmoco",
+            epoch="last") -> str:
     """Mirror warm_start_setup's copyfiles contract: config + summary.csv
-    + the last saved_models checkpoint, re-saved minimal (no optimizer)."""
+    + one saved_models checkpoint ('last' | 'best' | int, e.g. the epoch
+    a clustering probe picked), re-saved minimal (no optimizer)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     exp = os.path.join(workdir, "Results", f"{model}_pretrain")
     dst = os.path.join(repo, "rumpy_tpu", "pretrained", name)
@@ -119,7 +121,7 @@ def package(workdir: str, name: str, model: str = "supmoco") -> str:
     handler = get_model((exp_cfg.get("model") or {}).get("name")
                         or "supmoco")(**internal)
     src_models = os.path.join(exp, "saved_models")
-    epoch = ckpt.select_epoch(src_models, "last")
+    epoch = ckpt.select_epoch(src_models, epoch)
     state, _ = handler.load_model(src_models, epoch, skip_optimizer_load=True)
     handler.save_model(state, os.path.join(dst, "saved_models"), epoch,
                        minimal=True)
@@ -141,6 +143,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--package", default=None,
                     help="package the trained net under this name")
+    ap.add_argument("--package-epoch", default="last",
+                    help="which epoch to package: last | best | int "
+                         "(e.g. the epoch encoder_probe.py ranked top)")
+    ap.add_argument("--package-only", action="store_true",
+                    help="skip training; just (re)package --package-epoch "
+                         "from an existing --workdir run")
     ap.add_argument("--model", default="supmoco",
                     choices=("supmoco", "weakcon", "moco"))
     ap.add_argument("--milestones", default=None,
@@ -172,6 +180,13 @@ def main():
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.package_only:
+        if not args.package:
+            ap.error("--package-only requires --package")
+        package(args.workdir, args.package, model=args.model,
+                epoch=args.package_epoch)
+        return
 
     os.makedirs(args.workdir, exist_ok=True)
     hr_dir = stage_data(args.workdir, args.copies, holdout=args.holdout)
@@ -205,7 +220,8 @@ def main():
     print("\n" + df[cols].to_string(index=False))
 
     if args.package:
-        package(args.workdir, args.package, model=args.model)
+        package(args.workdir, args.package, model=args.model,
+                epoch=args.package_epoch)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,8 @@ def select_epoch(model_save_dir: str, which, summary_csv: Optional[str] = None,
     caller passes an explicit ``fallback`` selector (e.g. 'last')."""
     if isinstance(which, int):
         return which
+    if isinstance(which, str) and which.lstrip("-").isdigit():
+        return int(which)  # CLI flags arrive as strings
     eps = available_epochs(model_save_dir)
     if not eps:
         raise FileNotFoundError(f"No checkpoints in {model_save_dir}")

@@ -200,6 +200,9 @@ def test_select_epoch_best_requires_summary(tmp_path):
     good = tmp_path / "good.csv"
     good.write_text("epoch,val-PSNR\n0,20.0\n1,31.5\n2,29.0\n")
     assert ckpt.select_epoch(str(d), "best", str(good)) == 1
+    # numeric selectors work as int OR string (CLI flags arrive as str)
+    assert ckpt.select_epoch(str(d), 1) == 1
+    assert ckpt.select_epoch(str(d), "1") == 1
 
 
 def test_registry_import_errors_loud(monkeypatch):
