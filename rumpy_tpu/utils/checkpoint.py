@@ -155,6 +155,13 @@ def select_epoch(model_save_dir: str, which, summary_csv: Optional[str] = None,
                     f"{sorted(metric_best_val)}); pass fallback='last' "
                     f"to accept the latest checkpoint")
             metric = present[0]
+        if "epoch" in df.columns and df["epoch"].duplicated().any():
+            # A stats file holding rows from an aborted earlier run makes
+            # 'best' ill-defined; keep the last row per epoch index (the
+            # same supersession rule the trainer applies when truncating
+            # stats on resume, trainer.py) so selection stays well-posed.
+            df = df.drop_duplicates(
+                subset="epoch", keep="last").reset_index(drop=True)
         direction = metric_best_val.get(metric, "max")
         col = df[metric]
         idx = int(col.idxmax() if direction == "max" else col.idxmin())
