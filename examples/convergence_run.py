@@ -103,7 +103,8 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
                  milestones=None, encoder: str = None,
                  dan: bool = False, ikc: bool = False,
                  finetune_encoder: bool = False,
-                 holdout: bool = False, seed: int = 0) -> str:
+                 holdout: bool = False, seed: int = 0,
+                 aug: bool = False, aug_strength: float = 1.0) -> str:
     from rumpy_tpu.config.loader import dump_toml
     if dan:
         # third blind-SR family: DAN v1's estimator/restorer alternation,
@@ -179,6 +180,8 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
         exp += f"_{pipeline}"
     if holdout:
         exp += "_heldout"
+    if aug:
+        exp += "_aug"
     if seed:
         exp += f"_s{seed}"
     online = copy.deepcopy(PIPELINES[pipeline])
@@ -198,7 +201,18 @@ def write_config(workdir: str, hr_dir: str, epochs: int,
             "scale": 4,
             "crop": 48,
             "dataloader_threads": 2,
-            "training_sets": {"data_1": {"hr_dir": hr_dir}},
+            # --aug (VERDICT r4 item 4): stretch the tiny held-out pool
+            # with the framework's own augmentation — random flip/rot
+            # (data_handler.py:570-587 analog) plus the SimCLR colour
+            # jitter the reference exposes for contrastive crops
+            # (image_functions.py:364-371), applied photometrically
+            # aligned to the HR before online degradation.
+            **({"augmentations": True} if aug else {}),
+            "training_sets": {"data_1": {
+                "hr_dir": hr_dir,
+                **({"use_random_colour_distort": True,
+                    "colour_distortion_strength": aug_strength}
+                   if aug else {})}},
             "eval_sets": {"data_1": {"lr_dir": EVAL_LR, "hr_dir": EVAL_HR,
                                      "metadata_file": "on_site"}},
             "online_degradations": online,
@@ -272,6 +286,12 @@ def main():
     ap.add_argument("--holdout", action="store_true",
                     help="exclude Set5 from the TRAINING pool so the "
                          "shipped Set5 blind val set is truly held out")
+    ap.add_argument("--aug", action="store_true",
+                    help="random flip/rot + SimCLR colour distortion on "
+                         "the training crops (stretches the tiny "
+                         "held-out pool)")
+    ap.add_argument("--aug-strength", type=float, default=1.0,
+                    help="colour_distortion_strength with --aug")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--platform", default=None,
@@ -303,7 +323,8 @@ def main():
                        batch=args.batch, milestones=milestones,
                        encoder=args.encoder, dan=args.dan, ikc=args.ikc,
                        finetune_encoder=args.finetune_encoder,
-                       holdout=args.holdout, seed=args.seed)
+                       holdout=args.holdout, seed=args.seed,
+                       aug=args.aug, aug_strength=args.aug_strength)
 
     bic = bicubic_baseline()
     print(f"bicubic x4 Y-PSNR on the blind Set5 eval set: {bic:.3f} dB")
@@ -328,6 +349,8 @@ def main():
         exp += f"_{args.pipeline}"
     if args.holdout:
         exp += "_heldout"
+    if args.aug:
+        exp += "_aug"
     if args.seed:
         exp += f"_s{args.seed}"
     summary = os.path.join(args.workdir, "Results", exp, "result_outputs",

@@ -95,6 +95,31 @@ def test_convergence_harness_config_declares_model(tmp_path):
         assert internal.get("scheduler") == "multi_step_lr"
 
 
+def test_convergence_harness_aug_flag(tmp_path):
+    """--aug must switch on flip/rot ([data] augmentations) and the
+    SimCLR colour jitter on the training set table — and stay OFF by
+    default so the ablation arms remain protocol-identical."""
+    import sys
+    sys.path.insert(0, EXAMPLES)
+    import convergence_run as cr
+    from rumpy_tpu.config.loader import load_config
+
+    hr = tmp_path / "hr"
+    hr.mkdir(exist_ok=True)
+    plain = load_config(cr.write_config(
+        str(tmp_path), str(hr), epochs=2, bobw=False)).as_plain()
+    assert not plain["data"].get("augmentations")
+    assert "use_random_colour_distort" not in (
+        plain["data"]["training_sets"]["data_1"])
+    cfg = load_config(cr.write_config(
+        str(tmp_path), str(hr), epochs=2, bobw=False,
+        aug=True, aug_strength=0.5)).as_plain()
+    assert cfg["data"]["augmentations"] is True
+    ds = cfg["data"]["training_sets"]["data_1"]
+    assert ds["use_random_colour_distort"] is True
+    assert ds["colour_distortion_strength"] == 0.5
+
+
 def test_encoder_probe_grid_and_pinned_degradation():
     """The discrete-grid encoder probe (examples/encoder_probe.py) must
     produce one class per (blur, noise, JPEG) cell and pin the
