@@ -160,7 +160,8 @@ class SISRInterface:
     # Train / eval entry points
     # ------------------------------------------------------------------
 
-    def train_batch(self, lr=None, hr=None, metadata=None, **kwargs):
+    def train_batch(self, lr=None, hr=None, metadata=None, fetch=True,
+                    **kwargs):
         batch = {}
         if lr is not None:
             batch["lr"] = jnp.asarray(lr)
@@ -175,6 +176,11 @@ class SISRInterface:
                 self.model, "wants_tags", False):
             batch["tags"] = list(kwargs["tags"])
         self.state, losses = self.model.train_batch(self.state, batch)
+        if not fetch:
+            # keep losses as device scalars: every float() here is a
+            # blocking device->host round-trip (seconds over a remote-TPU
+            # tunnel), so the training loop fetches once per epoch instead
+            return losses
         return {k: float(v) for k, v in losses.items()}
 
     def set_epoch(self, epoch: int) -> None:

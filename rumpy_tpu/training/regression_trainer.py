@@ -256,6 +256,8 @@ class RegressionTrainingHandler(TrainingHandler):
 
     def train(self, epoch: int) -> Dict[str, float]:
         import time
+
+        import jax
         handler = self.model.model
         agg: Dict[str, List[float]] = defaultdict(list)
         data_t = compute_t = 0.0
@@ -276,10 +278,16 @@ class RegressionTrainingHandler(TrainingHandler):
             db = self._put(db)
             self.model.state, losses = handler.train_batch(self.model.state,
                                                            db)
+            # device scalars aggregate unfetched; one device_get per epoch
+            # (per-step float() pays a host round-trip each — seconds over
+            # a remote-TPU tunnel)
             for k, v in losses.items():
-                agg[k].append(float(v))
+                agg[k].append(v)
             t0 = time.perf_counter()
             compute_t += t0 - t1
+        t1 = time.perf_counter()
+        agg = jax.device_get(dict(agg))
+        compute_t += time.perf_counter() - t1
         out = {k: float(np.mean(v)) for k, v in agg.items()}
         total = data_t + compute_t
         out["compute_efficiency"] = (compute_t / total * 100.0) if total else 0.0

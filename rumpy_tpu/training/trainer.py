@@ -250,7 +250,6 @@ class TrainingHandler:
         if (self.profile_steps and not getattr(self, "_profiled", False)
                 and self.model.logs_dir and not self.model.no_directories):
             self._profiled = True
-            import jax
             jax.profiler.start_trace(
                 os.path.join(self.model.logs_dir, "profile"))
             profiling = True
@@ -260,21 +259,23 @@ class TrainingHandler:
             t1 = time.perf_counter()
             data_t += t1 - t0
             device_batch = self._put(batch)
+            # fetch=False: losses stay on device; steps dispatch
+            # asynchronously and the whole epoch's scalars come back in
+            # ONE device_get below — per-step float() fetches would pay a
+            # full host round-trip each (seconds over the axon tunnel)
             losses = self.model.train_batch(
                 lr=device_batch.get("lr"), hr=device_batch.get("hr"),
                 metadata=device_batch.get("metadata"),
-                tags=batch.get("tag"))
+                tags=batch.get("tag"), fetch=False)
             for k, v in losses.items():
                 agg[k].append(v)
             step_idx += 1
             if profiling and step_idx >= self.profile_steps:
-                import jax
                 jax.profiler.stop_trace()
                 profiling = False
             t0 = time.perf_counter()
             compute_t += t0 - t1
         if profiling:
-            import jax
             jax.profiler.stop_trace()
         if not agg:
             n = len(self.train_data.dataset) \
@@ -283,6 +284,12 @@ class TrainingHandler:
                 f"Training loader produced no batches (dataset size {n}, "
                 f"batch_size {self.train_data.batch_size}, drop_last) — "
                 "reduce batch_size or add training data.")
+        # one synchronizing transfer for every step's loss scalars —
+        # identical values to the per-step fetch, minus the round-trips;
+        # the sync time is epoch compute, so count it as such
+        t1 = time.perf_counter()
+        agg = jax.device_get(dict(agg))
+        compute_t += time.perf_counter() - t1
         out = {k: float(np.mean(v)) for k, v in agg.items()}
         total = data_t + compute_t
         out["compute_efficiency"] = (compute_t / total * 100.0) if total else 0.0
