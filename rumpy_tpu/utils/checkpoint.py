@@ -30,7 +30,16 @@ CKPT_PREFIX = "train_model_"
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # Start EVERY leaf's device->host copy before gathering any of them:
+    # np.asarray per leaf is a blocking round-trip each, and a train-state
+    # pytree has hundreds of leaves — over a remote-TPU link the serial
+    # version turns one checkpoint save into minutes of drip transfers.
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for x in leaves:
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    return jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(x) for x in leaves])
 
 
 # Keys holding JSON-able metadata (strings/dicts) rather than array pytrees;
