@@ -25,10 +25,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# Test tiers (VERDICT r3 item 7): module-level auto-marking so
-# `pytest -m "not slow"` is a <5-minute smoke path while the full suite
-# stays the default. Durations measured on this 1-core box — modules
-# whose wall share pushes the suite past the smoke budget are `slow`.
+# Test tiers (VERDICT r3 item 7, re-measured r5): `pytest -m "not slow"`
+# is the smoke tier — measured ~10 min wall on this 1-core box (full run
+# `pytest -q --durations=80`, 2026-08). The full suite is the default.
+# Marking is module-level for wholesale-slow modules plus per-TEST for
+# individual >=12 s tests inside otherwise-fast modules, so every module
+# keeps smoke-tier representation. tests/test_smoke_budget.py guards the
+# SLOW_TESTS names against rename drift.
 # ---------------------------------------------------------------------------
 
 TORCH_MODULES = {
@@ -50,6 +53,58 @@ SLOW_MODULES = {
     "test_arch_parity", "test_reference_parity",
     "test_graft_entry_hermetic",
 }
+# Individual tests measured >=12 s on the 1-core box (pytest --durations,
+# r5). Sum ~29 min of the former 39-min "fast" tier.
+SLOW_TESTS = {
+    "test_aux_subsystems": {"test_gui_server_routes"},
+    "test_blind_sr": {"test_frozen_encoder_pipeline",
+                      "test_joint_moco_pipeline",
+                      "test_joint_supmoco_pipeline"},
+    "test_degradation_ops": {"test_noise_image_pca_metadata"},
+    "test_eval_bucket": {"test_bucket_eval_bounds_compiles"},
+    "test_face_attribute_gans": {
+        "test_agagan_generator_parity", "test_attribute_gan_handler_smoke",
+        "test_facesr_attributes_discriminator_parity",
+        "test_facesr_attributes_generator_parity", "test_fmf_block_parity",
+        "test_fmf_discriminators_parity", "test_fmf_residual_dense_net_parity"},
+    "test_face_legacy": {
+        "test_dic_train_with_landmarks", "test_esrganfs_step",
+        "test_facegan_training_and_generation",
+        "test_interface_forwards_set_epoch", "test_sparnet",
+        "test_waveletsrnet[2]", "test_waveletsrnet[4]"},
+    "test_gan_models": {
+        "test_gan_checkpoint_roundtrip", "test_gan_phase_updates_both_networks",
+        "test_gan_reference_optimizer_vocabulary",
+        "test_gan_step_vgg_loss_nonzero_with_weights",
+        "test_gan_step_vgg_loss_zero_without_weights",
+        "test_qrealesrgan_metadata", "test_realesrgan_unet_discriminator",
+        "test_rrdbnet_shapes"},
+    "test_metabed": {
+        "test_metabed_autoencoder_phases", "test_metabed_esrgan_phases",
+        "test_metabed_meta_block_types[res-pipe-q-layer]",
+        "test_metabed_meta_block_types[res-pipe-split-q-layer]"},
+    "test_pipeline": {"test_host_pipeline_csv_contract"},
+    "test_regression_training": {
+        "test_cli_routes_regression",
+        "test_positives_default_derived_from_handler",
+        "test_supmoco_online_degradation_training",
+        "test_supmoco_regression_training",
+        "test_weakcon_regression_training"},
+    "test_regressors": {
+        "test_basicnn", "test_densenet_tiny", "test_efficientnet_tiny",
+        "test_manet_kernel_map", "test_resnet18_batchnorm_updates"},
+    "test_san_dasr": {"test_dasr_phases"},
+    "test_sftmd_ikc": {"test_ikc_pretrain_and_loop"},
+    "test_training": {
+        "test_epoch_cutoff_and_relative_num_epochs",
+        "test_loss_masking_semantics", "test_online_degradation_training",
+        "test_profile_steps_writes_trace", "test_reference_training_kwargs",
+        "test_use_masks_trains_masked_end_to_end"},
+    "test_wavelet_dic_fssr": {"test_dic_forward_parity",
+                              "test_waveletsrnet_forward_parity"},
+    "test_zoo_extended": {"test_dan", "test_danv1qrealesrgan",
+                          "test_danv2", "test_elan", "test_qelan"},
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -59,7 +114,7 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.torch)
         if mod in PARITY_MODULES:
             item.add_marker(pytest.mark.parity)
-        if mod in SLOW_MODULES:
+        if mod in SLOW_MODULES or item.name in SLOW_TESTS.get(mod, ()):
             item.add_marker(pytest.mark.slow)
 
 
