@@ -49,9 +49,24 @@ def list_images(directory: str, recursive: bool = False) -> List[str]:
     return sorted(out)
 
 
-def _decode(path: str) -> np.ndarray:
+def _decode_uncached(path: str) -> np.ndarray:
     im = Image.open(path).convert("RGB")
-    return np.asarray(im)
+    a = np.asarray(im)
+    a.flags.writeable = False  # cached copies are shared; crops copy anyway
+    return a
+
+
+# Small-pool training (and every epoch of any training) re-reads the same
+# files; PNG decode is ~30-40 ms each on a 1-core box, which at batch 32
+# is a bigger per-epoch cost than the optimizer steps. Bounded LRU keyed
+# by path — ~128 entries = worst-case ~1.5 GB of 2K images, far below
+# host RAM here. RUMPY_TPU_IMAGE_CACHE=0 disables.
+_CACHE_SIZE = int(os.environ.get("RUMPY_TPU_IMAGE_CACHE", "128"))
+if _CACHE_SIZE > 0:
+    import functools
+    _decode = functools.lru_cache(maxsize=_CACHE_SIZE)(_decode_uncached)
+else:
+    _decode = _decode_uncached
 
 
 class SuperResImages:
