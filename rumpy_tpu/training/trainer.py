@@ -117,6 +117,12 @@ class TrainingHandler:
             eps = available_epochs(self.model.model_save_dir)
             if eps and self.model.model_epoch - 1 < max(eps):
                 self.model.branch(self.model.model_epoch - 1)
+            # truncate stats past the resume point even when NOT
+            # branching: a crash between the CSV row write and the (much
+            # slower) checkpoint save leaves an orphan row for an epoch
+            # that will be re-run — without this the re-run appends a
+            # duplicate epoch index
+            if eps:
                 stats_mod.truncate_statistics(self.model.logs_dir,
                                               self.model.model_epoch - 1)
 

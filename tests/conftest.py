@@ -97,6 +97,7 @@ SLOW_TESTS = {
     "test_sftmd_ikc": {"test_ikc_pretrain_and_loop"},
     "test_training": {
         "test_epoch_cutoff_and_relative_num_epochs",
+        "test_resume_truncates_orphan_stats_rows",
         "test_loss_masking_semantics", "test_online_degradation_training",
         "test_profile_steps_writes_trace", "test_reference_training_kwargs",
         "test_use_masks_trains_masked_end_to_end"},

@@ -593,3 +593,24 @@ def test_one_cycle_degenerate_phase_rejected():
     s = build_schedule(1e-4, "one_cycle_lr",
                        {"total_steps": 100, "pct_start": 0.3})
     assert np.isfinite(float(s(0))) and np.isfinite(float(s(99)))
+
+
+def test_resume_truncates_orphan_stats_rows(tmp_path, tiny_dataset):
+    """A crash between the summary.csv row write and the (slower)
+    checkpoint save leaves an orphan row for an epoch with no
+    checkpoint; resuming from 'last' must drop it rather than append a
+    duplicate epoch index."""
+    import pandas as pd
+    lr_dir, hr_dir = tiny_dataset
+    h = TrainingHandler(_config(tmp_path, lr_dir, hr_dir), verbose=False)
+    h.run_experiment()  # epochs 0,1 with checkpoints
+    summary = os.path.join(h.model.logs_dir, "summary.csv")
+    df = pd.read_csv(summary)
+    orphan = df.iloc[[-1]].assign(epoch=2)  # row 2, no train_model_2
+    pd.concat([df, orphan]).to_csv(summary, index=False)
+    cfg = _config(tmp_path, lr_dir, hr_dir, continue_from_epoch="last")
+    cfg["training"]["num_epochs"] = 1
+    h2 = TrainingHandler(cfg, verbose=False)
+    h2.run_experiment()  # re-runs epoch 2 from the epoch-1 checkpoint
+    out = pd.read_csv(os.path.join(h2.model.logs_dir, "summary.csv"))
+    assert list(out["epoch"]) == [0, 1, 2]
