@@ -26,8 +26,9 @@ import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Test tiers (VERDICT r3 item 7, re-measured r5): `pytest -m "not slow"`
-# is the smoke tier — measured ~10 min wall on this 1-core box (full run
-# `pytest -q --durations=80`, 2026-08). The full suite is the default.
+# is the smoke tier — measured 15:57 wall on this 1-core box WHILE a
+# chip training run shared the core (2026-08; ~10 min sum of solo
+# durations). The full suite is the default.
 # Marking is module-level for wholesale-slow modules plus per-TEST for
 # individual >=12 s tests inside otherwise-fast modules, so every module
 # keeps smoke-tier representation. tests/test_smoke_budget.py guards the
